@@ -1,0 +1,91 @@
+"""Spectral transforms: STFT and aubio-style phase-vocoder magnitudes.
+
+TPU-first design: one batched `rfft` over `[n_frames, window]` replaces the
+reference's per-hop streaming FFTs (bliss-rs src/utils.rs:26-64,
+src/aubio.rs:119-426). The aubio FFT-shift (swap halves before the FFT) is
+dropped on purpose: for even windows it multiplies bin `k` by `(-1)^k`,
+which leaves every quantity bliss consumes (magnitudes, |Re| of the
+purely-real DC/Nyquist bins) unchanged.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .windows import (
+    frame_signal,
+    frame_signal_reflect,
+    hann_periodic,
+    n_frames_stft,
+)
+
+
+def stft(
+    signal: jnp.ndarray,
+    window_length: int,
+    hop_length: int,
+    length=None,
+    n_frames: int | None = None,
+    dtype=None,
+) -> jnp.ndarray:
+    """Hann-windowed, reflect-padded magnitude STFT.
+
+    Matches the reference `stft` (src/utils.rs:26-64): f32 window and FFT,
+    magnitudes optionally cast to `dtype` (the reference stores f64).
+    Returns `[window//2 + 1, n_frames]`.
+
+    `length`/`n_frames` allow masked operation over a padded buffer; when
+    omitted they default to the full (static) signal length.
+    """
+    t = signal.shape[-1]
+    if length is None:
+        length = t
+    if n_frames is None:
+        n_frames = int(n_frames_stft(t, hop_length))
+    frames = frame_signal_reflect(signal, length, window_length, hop_length, n_frames)
+    windowed = frames * hann_periodic(window_length)
+    mags = jnp.abs(jnp.fft.rfft(windowed, axis=-1))
+    if dtype is not None:
+        mags = mags.astype(dtype)
+    return mags.T
+
+
+def pvoc_mags(frames: jnp.ndarray) -> jnp.ndarray:
+    """Correct 257-bin phase-vocoder magnitudes (PVocTempo).
+
+    Reference: src/aubio.rs:274-426. Input `[..., n_frames, window]`,
+    output `[..., n_frames, window//2 + 1]`.
+    """
+    w = frames.shape[-1]
+    windowed = frames * hann_periodic(w)
+    return jnp.abs(jnp.fft.rfft(windowed, axis=-1))
+
+
+def pvoc_mags_buggy(frames: jnp.ndarray) -> jnp.ndarray:
+    """Buggy 256-bin phase-vocoder magnitudes (timbral PVoc).
+
+    Reproduces aubio's buffer-overflow behavior (src/aubio.rs:237-261):
+    256 bins where bin 255 holds the *Nyquist* magnitude `|Re[256]|`
+    and true bin 255 is dropped. Input `[..., n_frames, window]`,
+    output `[..., n_frames, window//2]`.
+    """
+    w = frames.shape[-1]
+    half = w // 2
+    windowed = frames * hann_periodic(w)
+    mags = jnp.abs(jnp.fft.rfft(windowed, axis=-1))  # [..., half+1]
+    return jnp.concatenate([mags[..., : half - 1], mags[..., half:]], axis=-1)
+
+
+def convolve(input_: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """FFT-based "same"-mode convolution, matching src/utils.rs:132-164
+    (including its even-length zero-padding and 1/N normalization quirks)."""
+    common = input_.shape[0] + kernel.shape[0]
+    if common % 2 != 0:
+        common -= 1
+    fin = jnp.fft.fft(input_, n=common)
+    fker = jnp.fft.fft(kernel, n=common)
+    # rustfft's inverse is unnormalized and the reference divides by N
+    # afterwards — jnp.fft.ifft's built-in 1/N is the same thing.
+    out = jnp.fft.ifft(fin * fker)
+    start = (kernel.shape[0] - 1) // 2
+    return out[start : start + input_.shape[0]].real

@@ -1,0 +1,113 @@
+"""Framing and window functions.
+
+TPU-first design note: the reference streams overlapping windows through
+stateful descriptor objects (bliss-rs src/utils.rs:26-64, src/aubio.rs:119-426).
+Here, a whole song lives on device as one `[T]` array and framing is a
+single gather producing `[n_frames, window]`, which XLA fuses with the
+window multiply feeding the batched FFT. Ragged lengths are handled with
+masks, never with dynamic shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _hann_np(window_length: int) -> np.ndarray:
+    # Periodic Hann, computed in f32 exactly like the reference
+    # (src/utils.rs:36-40 and src/aubio.rs:151-154 — hanningz
+    # `0.5*(1-cos)` equals `0.5-0.5cos` elementwise).
+    n = np.arange(window_length, dtype=np.float32)
+    return (
+        np.float32(0.5)
+        - np.float32(0.5)
+        * np.cos(np.float32(2.0) * n * np.float32(math.pi) / np.float32(window_length))
+    ).astype(np.float32)
+
+
+def hann_periodic(window_length: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Periodic Hann window of `window_length` (f32 parity with reference)."""
+    return jnp.asarray(_hann_np(window_length), dtype=dtype)
+
+
+def n_frames_strided(length, window_length: int, hop_length: int):
+    """Number of complete strided windows (Rust `windows(w).step_by(h)`)."""
+    return (length - window_length) // hop_length + 1
+
+
+def n_frames_stft(length, hop_length: int):
+    """Frame count of the reference stft (src/utils.rs:29-32):
+    `ceil(len/hop)` rows, truncated by the windows iterator to
+    `floor((len-1)/hop) + 1` — the two coincide in this closed form."""
+    return (length - 1) // hop_length + 1
+
+
+def reflect_pad(array: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Reflect-pad (no edge repeat), matching src/utils.rs:11-24."""
+    prefix = array[1 : pad + 1][::-1]
+    suffix = array[-(pad + 1) : -1][::-1]
+    return jnp.concatenate([prefix, array, suffix])
+
+
+def frame_signal(
+    signal: jnp.ndarray,
+    window_length: int,
+    hop_length: int,
+    offset: int = 0,
+    n_frames: int | None = None,
+) -> jnp.ndarray:
+    """Frame `signal` into `[n_frames, window_length]` windows.
+
+    Frame `f` covers samples `[f*hop - offset, f*hop - offset + window)`;
+    out-of-range positions read as zero. `offset > 0` reproduces the
+    aubio phase-vocoder sliding-buffer semantics (src/aubio.rs:198-212):
+    the pvoc's internal buffer at hop `h` holds the last `window` samples
+    ending at `h*hop + hop`, i.e. a window starting at `hop*(h+1) - window`.
+    """
+    t = signal.shape[-1]
+    if n_frames is None:
+        n_frames = int(n_frames_strided(t, window_length, hop_length))
+    pos = (
+        jnp.arange(n_frames, dtype=jnp.int32)[:, None] * hop_length
+        + jnp.arange(window_length, dtype=jnp.int32)[None, :]
+        - offset
+    )
+    valid = (pos >= 0) & (pos < t)
+    gathered = jnp.take(signal, jnp.clip(pos, 0, t - 1), axis=-1)
+    return jnp.where(valid, gathered, jnp.zeros((), signal.dtype))
+
+
+def frame_signal_reflect(
+    signal: jnp.ndarray,
+    length,
+    window_length: int,
+    hop_length: int,
+    n_frames: int,
+) -> jnp.ndarray:
+    """Frame a reflect-padded signal without materializing the padding.
+
+    Equivalent to `reflect_pad(signal[:length], window//2)` followed by
+    strided framing (reference stft, src/utils.rs:26-64), but expressed as
+    a single reflected gather so it works under jit with a *dynamic*
+    `length` over a statically-shaped `signal` buffer.
+
+    Requires `window_length // 2 <= length - 1` (guaranteed by the
+    reference's minimum-song-length check, src/song/mod.rs:417-429).
+    """
+    t = signal.shape[-1]
+    pad = window_length // 2
+    pos = (
+        jnp.arange(n_frames, dtype=jnp.int32)[:, None] * hop_length
+        + jnp.arange(window_length, dtype=jnp.int32)[None, :]
+        - pad
+    )
+    length = jnp.asarray(length, jnp.int32)
+    idx = jnp.where(pos < 0, -pos, pos)
+    idx = jnp.where(idx >= length, 2 * (length - 1) - idx, idx)
+    idx = jnp.clip(idx, 0, t - 1)
+    return jnp.take(signal, idx, axis=-1)

@@ -1,0 +1,483 @@
+"""Playlist engine: distance metrics and playlist builders.
+
+Reference: bliss-rs src/playlist.rs. TPU-first redesign: metrics operate on
+the whole `[N, F]` library matrix in one batched device call instead of
+N scalar closure evaluations —
+
+  * euclidean / cosine / Mahalanobis distances are one fused
+    norms-plus-GEMM program (`(a-b)ᵀ M (a-b)` expanded on the MXU)
+  * `closest_to_songs` is a single distance kernel + argsort
+  * `song_to_song` is an O(N²)-work but device-resident masked-argmin
+    iteration (one [N, N] distance matrix, then a host-side greedy chain)
+  * the extended isolation forest is built on host (tiny) and scored as a
+    vectorized device/NumPy program
+
+Scalar convenience wrappers with reference semantics are kept for API
+parity; a set-metric is a *builder* (trained on seed vectors) producing a
+callable, mirroring the DistanceMetricBuilder/DistanceMetric trait pair
+(src/playlist.rs:24-59).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, List, Optional, Sequence
+
+import numpy as np
+
+from .errors import BlissError, ProviderError
+from .features import NUMBER_FEATURES
+
+Vector = np.ndarray
+
+
+# ---------------------------------------------------------------------------
+# Metrics
+# ---------------------------------------------------------------------------
+
+
+def euclidean_distance(a: Vector, b: Vector) -> float:
+    """Euclidean distance (src/playlist.rs:65-71)."""
+    d = np.asarray(a, np.float32) - np.asarray(b, np.float32)
+    return float(np.sqrt(np.dot(d, d)))
+
+
+def cosine_distance(a: Vector, b: Vector) -> float:
+    """Cosine distance (src/playlist.rs:76-79)."""
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    sim = float(np.dot(a, b)) / float(
+        np.sqrt(np.dot(a, a)) * np.sqrt(np.dot(b, b))
+    )
+    return 1.0 - sim
+
+
+def mahalanobis_distance(a: Vector, b: Vector, m: np.ndarray) -> float:
+    """Weighted distance `sqrt((a-b)ᵀ M (a-b))` (src/playlist.rs:140-142)."""
+    d = np.asarray(a, np.float32) - np.asarray(b, np.float32)
+    return float(np.sqrt(d @ np.asarray(m, np.float32) @ d))
+
+
+def mahalanobis_distance_builder(m: np.ndarray):
+    """Return a two-vector metric closing over `m`
+    (src/playlist.rs:129-131)."""
+    m = np.asarray(m, np.float32)
+
+    def metric(a: Vector, b: Vector) -> float:
+        return mahalanobis_distance(a, b, m)
+
+    metric.weight_matrix = m  # used by the batched fast path
+    return metric
+
+
+def variance_based_weight_matrix(seeds: Sequence[Vector]) -> np.ndarray:
+    """Inverse-variance diagonal weights from seed vectors
+    (src/playlist.rs:173-221)."""
+    if len(seeds) < 2:
+        raise ProviderError("seeds must contain more than one element")
+    n = len(np.asarray(seeds[0]).ravel())
+    if n == 0:
+        raise ProviderError("seed feature vectors must not be empty")
+    arr = []
+    for s in seeds:
+        v = np.asarray(s, np.float32).ravel()
+        if v.shape[0] != n:
+            raise ProviderError(
+                "all seed feature vectors must have the same length"
+            )
+        arr.append(v)
+    mat = np.stack(arr)
+    variance = mat.var(axis=0)  # population variance
+    weights = 1.0 / (variance + 1e-6)
+    weights *= n / weights.sum()
+    return np.diag(weights).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Metric builder protocol
+# ---------------------------------------------------------------------------
+
+
+class DistanceMetricBuilder:
+    """Builds a trained metric measuring distance *to a set of vectors*."""
+
+    def build(self, vectors: Sequence[Vector]) -> "DistanceMetric":
+        raise NotImplementedError
+
+
+class DistanceMetric:
+    def distance(self, vector: Vector) -> float:
+        raise NotImplementedError
+
+    def distances(self, matrix: np.ndarray) -> np.ndarray:
+        """Batched distances for an `[N, F]` matrix (device fast path);
+        default falls back to the scalar method."""
+        return np.array([self.distance(v) for v in matrix], np.float32)
+
+
+class FunctionDistanceMetric(DistanceMetric):
+    """Sum of a plain two-vector metric over the seed set
+    (src/playlist.rs:36-59)."""
+
+    def __init__(self, func: Callable, vectors: Sequence[Vector]):
+        self.func = func
+        self.vectors = [np.asarray(v, np.float32) for v in vectors]
+
+    def distance(self, vector: Vector) -> float:
+        return float(sum(self.func(v, vector) for v in self.vectors))
+
+    def distances(self, matrix: np.ndarray) -> np.ndarray:
+        matrix = np.asarray(matrix, np.float32)
+        m = getattr(self.func, "weight_matrix", None)
+        if m is not None:
+            return _batched_mahalanobis(matrix, self.vectors, m)
+        if self.func is euclidean_distance:
+            return _batched_mahalanobis(
+                matrix, self.vectors, np.eye(matrix.shape[-1], dtype=np.float32)
+            )
+        if self.func is cosine_distance:
+            return _batched_cosine(matrix, self.vectors)
+        return super().distances(matrix)
+
+
+def _as_builder(metric) -> DistanceMetricBuilder:
+    """Plain callables auto-implement the builder (src/playlist.rs:41-51)."""
+    if isinstance(metric, DistanceMetricBuilder):
+        return metric
+
+    class _FnBuilder(DistanceMetricBuilder):
+        def build(self, vectors):
+            return FunctionDistanceMetric(metric, vectors)
+
+    return _FnBuilder()
+
+
+def _batched_mahalanobis(
+    matrix: np.ndarray, seeds: List[np.ndarray], m: np.ndarray
+) -> np.ndarray:
+    """Σ_seeds sqrt((x-s)ᵀM(x-s)) for all rows at once.
+
+    One `[N,F] @ [F,F]` GEMM + row reductions; runs through jnp so large
+    libraries hit the device.
+    """
+    import jax.numpy as jnp
+
+    x = jnp.asarray(matrix, jnp.float32)  # [N, F]
+    s = jnp.asarray(np.stack(seeds), jnp.float32)  # [K, F]
+    mm = jnp.asarray(m, jnp.float32)
+    d = x[:, None, :] - s[None, :, :]  # [N, K, F]
+    q = jnp.einsum("nkf,fg,nkg->nk", d, mm, d)
+    out = jnp.sum(jnp.sqrt(jnp.maximum(q, 0.0)), axis=1)
+    return np.asarray(out)
+
+
+def _batched_cosine(matrix: np.ndarray, seeds: List[np.ndarray]) -> np.ndarray:
+    import jax.numpy as jnp
+
+    x = jnp.asarray(matrix, jnp.float32)
+    s = jnp.asarray(np.stack(seeds), jnp.float32)
+    xn = jnp.sqrt(jnp.sum(x * x, axis=1))
+    sn = jnp.sqrt(jnp.sum(s * s, axis=1))
+    sim = (x @ s.T) / (xn[:, None] * sn[None, :])
+    return np.asarray(jnp.sum(1.0 - sim, axis=1))
+
+
+# ---------------------------------------------------------------------------
+# Extended isolation forest (set metric)
+# ---------------------------------------------------------------------------
+
+
+class ForestOptions(DistanceMetricBuilder):
+    """Extended-isolation-forest metric builder.
+
+    Mirrors the reference's use of the `extended-isolation-forest` crate
+    (src/playlist.rs:230-251): `n_trees` hyperplane-split trees over a
+    bootstrap-free subsample; the *distance* is the anomaly score
+    `2^(-avg_path/c(n))` — smaller means "more like the seed set".
+    """
+
+    def __init__(
+        self,
+        n_trees: int = 1000,
+        sample_size: int = 200,
+        max_tree_depth: Optional[int] = None,
+        extension_level: int = 10,
+        seed: int = 0,
+    ):
+        self.n_trees = n_trees
+        self.sample_size = sample_size
+        self.max_tree_depth = max_tree_depth
+        self.extension_level = extension_level
+        self.seed = seed
+
+    def build(self, vectors: Sequence[Vector]) -> "IsolationForest":
+        sample_size = min(self.sample_size, len(vectors))
+        return IsolationForest(
+            np.stack([np.asarray(v, np.float64) for v in vectors]),
+            n_trees=self.n_trees,
+            sample_size=sample_size,
+            max_tree_depth=self.max_tree_depth,
+            extension_level=self.extension_level,
+            seed=self.seed,
+        )
+
+
+def _harmonic(n: float) -> float:
+    return np.log(n) + np.euler_gamma
+
+
+def _c_factor(n: int) -> float:
+    """Average unsuccessful BST search path length."""
+    if n <= 1:
+        return 0.0
+    return 2.0 * _harmonic(n - 1.0) - (2.0 * (n - 1.0) / n)
+
+
+class IsolationForest(DistanceMetric):
+    """Vectorized extended isolation forest scorer.
+
+    Trees are built on host (cheap: sample_size ≤ 200); scoring evaluates
+    all trees for a whole `[N, F]` matrix with array ops.
+    """
+
+    def __init__(
+        self,
+        data: np.ndarray,
+        n_trees: int,
+        sample_size: int,
+        max_tree_depth: Optional[int],
+        extension_level: int,
+        seed: int,
+    ):
+        n, dim = data.shape
+        if extension_level >= dim:
+            extension_level = dim - 1
+        self.dim = dim
+        depth_limit = max_tree_depth or int(np.ceil(np.log2(max(sample_size, 2))))
+        rng = np.random.default_rng(seed)
+        self.c_n = _c_factor(sample_size)
+        self.trees = []
+        for _ in range(n_trees):
+            idx = rng.choice(n, size=min(sample_size, n), replace=False)
+            self.trees.append(
+                self._build_tree(data[idx], rng, 0, depth_limit, extension_level)
+            )
+
+    def _build_tree(self, x, rng, depth, limit, ext):
+        n = x.shape[0]
+        if depth >= limit or n <= 1:
+            size = 0.0 if n <= 1 else _c_factor(n)
+            return ("leaf", depth + size)
+        normal = rng.normal(size=self.dim)
+        zero_idx = rng.choice(self.dim, size=self.dim - ext - 1, replace=False)
+        normal[zero_idx] = 0.0
+        mins, maxs = x.min(axis=0), x.max(axis=0)
+        point = rng.uniform(mins, maxs)
+        side = (x - point) @ normal
+        left, right = x[side < 0], x[side >= 0]
+        if len(left) == 0 or len(right) == 0:
+            return ("leaf", depth + _c_factor(n))
+        return (
+            "node",
+            normal,
+            point,
+            self._build_tree(left, rng, depth + 1, limit, ext),
+            self._build_tree(right, rng, depth + 1, limit, ext),
+        )
+
+    def _path_lengths(self, tree, x: np.ndarray, out: np.ndarray, mask):
+        if tree[0] == "leaf":
+            out[mask] += tree[1]
+            return
+        _, normal, point, left, right = tree
+        side = (x[mask] - point) @ normal
+        idx = np.flatnonzero(mask)
+        lmask = np.zeros_like(mask)
+        rmask = np.zeros_like(mask)
+        lmask[idx[side < 0]] = True
+        rmask[idx[side >= 0]] = True
+        if lmask.any():
+            self._path_lengths(left, x, out, lmask)
+        if rmask.any():
+            self._path_lengths(right, x, out, rmask)
+
+    def distances(self, matrix: np.ndarray) -> np.ndarray:
+        x = np.asarray(matrix, np.float64)
+        total = np.zeros(x.shape[0])
+        full = np.ones(x.shape[0], bool)
+        for tree in self.trees:
+            self._path_lengths(tree, x, total, full)
+        avg = total / len(self.trees)
+        if self.c_n <= 0:
+            return np.full(x.shape[0], 0.5, np.float32)
+        return (2.0 ** (-avg / self.c_n)).astype(np.float32)
+
+    def distance(self, vector: Vector) -> float:
+        return float(self.distances(np.asarray(vector)[None, :])[0])
+
+
+# ---------------------------------------------------------------------------
+# Playlist builders
+# ---------------------------------------------------------------------------
+
+
+def _song_matrix(songs) -> np.ndarray:
+    return np.stack(
+        [np.asarray(s.analysis.as_arr1(), np.float32) for s in songs]
+    )
+
+
+def closest_to_songs(initial_songs, candidate_songs, metric_builder):
+    """Sort `candidate_songs` by distance to `initial_songs`
+    (src/playlist.rs:256-270). Returns a new sorted list."""
+    candidates = list(candidate_songs)
+    if not candidates:
+        return []
+    builder = _as_builder(metric_builder)
+    metric = builder.build([s.analysis.as_arr1() for s in initial_songs])
+    dists = metric.distances(_song_matrix(candidates))
+    order = np.argsort(dists, kind="stable")
+    return [candidates[i] for i in order]
+
+
+def song_to_song(initial_songs, candidate_songs, metric_builder):
+    """Greedy nearest-neighbor chain (src/playlist.rs:272-326).
+
+    The reference rebuilds the metric and scans O(N) per step; with
+    function metrics the chain after the first step is a pure
+    nearest-neighbor walk, so the `[N, N]` distance matrix is computed
+    once on device and the walk is a cheap host loop.
+    """
+    pool = list(candidate_songs)
+    if not pool:
+        return []
+    builder = _as_builder(metric_builder)
+    out = []
+    mat = _song_matrix(pool)
+    alive = np.ones(len(pool), bool)
+
+    # first pick: distance to all the initial songs
+    metric = builder.build([s.analysis.as_arr1() for s in initial_songs])
+    d = metric.distances(mat)
+    idx = int(np.argmin(d))
+    alive[idx] = False
+    out.append(pool[idx])
+
+    is_pure_fn = not isinstance(metric_builder, DistanceMetricBuilder)
+    if is_pure_fn and len(pool) > 1:
+        pair = _pairwise_matrix(mat, metric_builder)
+        cur = idx
+        for _ in range(len(pool) - 1):
+            row = np.where(alive, pair[cur], np.inf)
+            cur = int(np.argmin(row))
+            alive[cur] = False
+            out.append(pool[cur])
+    else:
+        while alive.any():
+            metric = builder.build([out[-1].analysis.as_arr1()])
+            d = np.where(alive, metric.distances(mat), np.inf)
+            nxt = int(np.argmin(d))
+            alive[nxt] = False
+            out.append(pool[nxt])
+    return out
+
+
+def _pairwise_matrix(mat: np.ndarray, metric) -> np.ndarray:
+    """[N, N] pairwise distances in one device program when possible."""
+    import jax.numpy as jnp
+
+    m = getattr(metric, "weight_matrix", None)
+    if metric is euclidean_distance:
+        m = np.eye(mat.shape[-1], dtype=np.float32)
+    if m is not None:
+        x = jnp.asarray(mat)
+        mm = jnp.asarray(m)
+        # (a-b)ᵀM(a-b) = aᵀMa + bᵀMb - 2aᵀMb  — norms + one GEMM
+        xm = x @ mm
+        q = jnp.sum(xm * x, axis=1)
+        cross = xm @ x.T
+        sq = jnp.maximum(q[:, None] + q[None, :] - 2.0 * cross, 0.0)
+        return np.asarray(jnp.sqrt(sq))
+    if metric is cosine_distance:
+        x = jnp.asarray(mat)
+        n = jnp.sqrt(jnp.sum(x * x, axis=1))
+        return np.asarray(1.0 - (x @ x.T) / (n[:, None] * n[None, :]))
+    n = mat.shape[0]
+    out = np.zeros((n, n), np.float32)
+    for i in range(n):
+        for j in range(n):
+            out[i, j] = metric(mat[i], mat[j])
+    return out
+
+
+def dedup_playlist(playlist, distance_threshold: Optional[float] = None):
+    """Drop consecutive near-duplicates using euclidean distance
+    (src/playlist.rs:343-348)."""
+    return dedup_playlist_custom_distance(
+        playlist, distance_threshold, euclidean_distance
+    )
+
+
+def dedup_playlist_custom_distance(
+    playlist, distance_threshold: Optional[float], metric_builder
+):
+    """Drop consecutive songs closer than `distance_threshold` (default
+    0.05) or sharing a non-empty title+artist (src/playlist.rs:367-402).
+    Returns a list."""
+    threshold = 0.05 if distance_threshold is None else distance_threshold
+    builder = _as_builder(metric_builder)
+    out = []
+    it = iter(playlist)
+    try:
+        current = next(it)
+    except StopIteration:
+        return out
+    for nxt in it:
+        metric = builder.build([current.analysis.as_arr1()])
+        same = metric.distance(nxt.analysis.as_arr1()) < threshold or (
+            current.title is not None
+            and nxt.title is not None
+            and current.artist is not None
+            and nxt.artist is not None
+            and current.title == nxt.title
+            and current.artist == nxt.artist
+        )
+        if not same:
+            out.append(current)
+            current = nxt
+    out.append(current)
+    return out
+
+
+def closest_album_to_group(group, pool):
+    """Album-level playlist: rank albums by distance of their mean vector
+    to the group's mean vector (src/playlist.rs:424-485)."""
+    group = list(group)
+    pool = [s for s in pool if all(s != g for g in group)]
+    if not group:
+        raise ProviderError("Mean of empty slice")
+
+    albums = {}
+    for song in pool:
+        if song.album is not None:
+            albums.setdefault(song.album, []).append(song)
+
+    group_mean = _song_matrix(group).mean(axis=0)
+    ranked = sorted(
+        albums.items(),
+        key=lambda kv: euclidean_distance(
+            group_mean, _song_matrix(kv[1]).mean(axis=0)
+        ),
+    )
+    playlist = list(group)
+
+    def opt_key(v):
+        # Rust Option ordering: None < Some(x) (src/playlist.rs:475-481)
+        return (0, 0) if v is None else (1, v)
+
+    for album, songs in ranked:
+        songs = sorted(
+            songs,
+            key=lambda s: (opt_key(s.disc_number), opt_key(s.track_number)),
+        )
+        playlist.extend(songs)
+    return playlist
