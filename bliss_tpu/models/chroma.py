@@ -210,18 +210,28 @@ def normalize_feature_sequence(feature: jnp.ndarray) -> jnp.ndarray:
     return feature / colsum
 
 
-def interval_feature_matrix(chroma: jnp.ndarray) -> jnp.ndarray:
-    """[10, n_frames] interval features of a chromagram
-    (extract_interval_features, src/chroma.rs:157-175), via the
-    log-domain template matmul. The sharpened chroma is strictly
-    positive (`exp(15x) >= 1` before normalization), so logs are finite.
+def extract_interval_features(chroma: jnp.ndarray) -> jnp.ndarray:
+    """[10, n_frames] product-of-powers over the rolled template bank
+    (extract_interval_features, src/chroma.rs:157-175), via one
+    [120,12] x [12,T] log-domain matmul on the MXU.
+
+    `chroma` entries must be >= 0; zeros are clamped to the smallest
+    positive double so the log stays finite (a selected zero then
+    underflows the product to ~0, matching `0^1 = 0`).
     """
     dtype = chroma.dtype
-    c = normalize_feature_sequence(jnp.exp(15.0 * chroma))
+    tiny = np.finfo(np.float64).tiny
     bank = jnp.asarray(_shifted_template_bank(), dtype)  # [120, 12]
-    log_p = bank @ jnp.log(c)  # [120, T]
+    log_p = bank @ jnp.log(jnp.maximum(chroma, tiny))  # [120, T]
     p = jnp.exp(log_p)
     return jnp.sum(p.reshape(10, 12, -1), axis=1)  # sum over the 12 shifts
+
+
+def interval_feature_matrix(chroma: jnp.ndarray) -> jnp.ndarray:
+    """exp(15x)-sharpened, L1-normalized interval features
+    (chroma_interval_features preprocessing, src/chroma.rs:137-153)."""
+    c = normalize_feature_sequence(jnp.exp(15.0 * chroma))
+    return extract_interval_features(c)
 
 
 def chroma_interval_features(

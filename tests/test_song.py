@@ -1,0 +1,100 @@
+"""End-to-end Song/Analysis tests vs the golden 23-dim vector
+(src/song/mod.rs:524-843)."""
+
+import numpy as np
+import pytest
+
+from bliss_tpu import (
+    Analysis,
+    AnalysisIndex,
+    AnalysisIndexV1,
+    AnalysisOptions,
+    FeaturesVersion,
+    NUMBER_FEATURES,
+    Song,
+)
+from bliss_tpu.errors import AnalysisError, ProviderError
+from bliss_tpu.io.decoder import FFmpegDecoder
+
+GOLDEN_V2 = [
+    0.3846389, -0.849141, -0.75481045, -0.8790748, -0.63258266,
+    -0.7258959, -0.7757379, -0.8146726, 0.2716726, 0.25779057,
+    -0.34292513, -0.62803423, -0.28095096, 0.08686459, 0.24446082,
+    -0.5723257, 0.23292065, 0.19981146, -0.58594406, -0.06784296,
+    -0.06000763, -0.58485717, -0.07880378,
+]
+
+GOLDEN_V1 = [
+    0.3846389, -0.849141, -0.75481045, -0.8790748, -0.63258266,
+    -0.7258959, -0.7757379, -0.8146726, 0.2716726, 0.25779057,
+    -0.35661936, -0.63578653, -0.29593682, 0.06421304, 0.21852458,
+    -0.581239, -0.9466835, -0.9481153, -0.9820945, -0.95968974,
+]
+
+
+def test_analyze_golden(data_dir):
+    song = FFmpegDecoder.song_from_path(data_dir / "s16_mono_22_5kHz.flac")
+    np.testing.assert_allclose(song.analysis.as_vec(), GOLDEN_V2, atol=1e-5)
+    assert song.features_version == FeaturesVersion.latest()
+
+
+def test_analyze_v1(data_dir):
+    song = FFmpegDecoder.song_from_path(
+        data_dir / "s16_mono_22_5kHz.flac",
+        AnalysisOptions(features_version=FeaturesVersion.VERSION1),
+    )
+    np.testing.assert_allclose(song.analysis.as_vec(), GOLDEN_V1, atol=1e-5)
+    assert song.features_version == FeaturesVersion.VERSION1
+
+
+def test_analysis_too_small():
+    with pytest.raises(AnalysisError, match="empty or too short song."):
+        Song.analyze([0.0])
+    with pytest.raises(AnalysisError):
+        Song.analyze([])
+
+
+def test_index_analysis(data_dir):
+    song = FFmpegDecoder.song_from_path(data_dir / "s16_mono_22_5kHz.flac")
+    assert abs(song.analysis[AnalysisIndex.TEMPO] - 0.3846389) < 1e-5
+    assert abs(song.analysis[AnalysisIndex.CHROMA10] - (-0.06784296)) < 1e-5
+
+
+def test_index_analysis_old_version():
+    a = Analysis([1.0] * 20, FeaturesVersion.VERSION1)
+    assert a[AnalysisIndexV1.TEMPO] == 1.0
+    assert a[AnalysisIndexV1.CHROMA10] == 1.0
+    with pytest.raises(IndexError, match="incompatible indexes"):
+        a[AnalysisIndex.CHROMA13]
+
+
+def test_new_analysis_wrong_feature_count():
+    with pytest.raises(ProviderError):
+        Analysis([1.0], FeaturesVersion.VERSION2)
+
+
+def test_analysis_distance():
+    a = Analysis([0.0] * 20, FeaturesVersion.VERSION1)
+    b = Analysis([1.0] * 20, FeaturesVersion.VERSION1)
+    assert abs(a.distance(b) - 4.472136) < 1e-6
+
+
+def test_analysis_distance_mismatched_versions():
+    a = Analysis([0.0] * 20, FeaturesVersion.VERSION1)
+    b = Analysis([0.0] * 23, FeaturesVersion.VERSION2)
+    with pytest.raises(ProviderError, match="Mismatched features version"):
+        a.distance(b)
+
+
+def test_distance_metric_features_version():
+    m1 = FeaturesVersion.VERSION1.distance_metric()
+    assert abs(m1(np.zeros(20), np.ones(20)) - 4.47213595) < 1e-6
+    m2 = FeaturesVersion.VERSION2.distance_metric()
+    assert abs(m2(np.zeros(23), np.ones(23)) - 3.4999998) < 1e-6
+
+
+def test_number_features():
+    assert NUMBER_FEATURES == 23
+    assert FeaturesVersion.VERSION1.feature_count == 20
+    assert FeaturesVersion.VERSION1.feature_weights().shape == (20, 20)
+    assert FeaturesVersion.VERSION2.feature_weights().shape == (23, 23)
