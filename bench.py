@@ -1,0 +1,68 @@
+"""End-to-end benchmark: decode + analyze throughput (songs/sec).
+
+Mirrors the reference's headline number — decode+analyze of a song
+library, ~3.0 songs/s on an all-cores desktop with the FFmpeg decoder
+(reference README.md:158-160; BASELINE.md). Prints ONE JSON line:
+
+    {"metric": "songs_per_sec", "value": N, "unit": "songs/s",
+     "vs_baseline": N/3.0}
+
+The workload decodes real audio fixtures (a mix of lengths/codecs) on
+host threads and runs the fused analyzer per song on the device, the
+same path `Decoder.analyze_paths` uses.
+"""
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+REPO = pathlib.Path(__file__).parent
+DATA = REPO / "tests" / "data"
+BASELINE_SONGS_PER_SEC = 3.0  # reference README: 10k songs in ~56 min
+
+
+def main():
+    n_songs = int(os.environ.get("BLISS_BENCH_SONGS", "32"))
+
+    from bliss_tpu.io.decoder import FFmpegDecoder
+    from bliss_tpu.song import AnalysisOptions, Song
+
+    fixtures = [
+        DATA / "s16_mono_22_5kHz.flac",
+        DATA / "s32_stereo_44_1_kHz.flac",
+        DATA / "piano.flac",
+        DATA / "s32_stereo_44_1_kHz.mp3",
+        DATA / "5_mins_of_noise_stereo_48kHz.ogg",
+    ]
+    paths = [fixtures[i % len(fixtures)] for i in range(n_songs)]
+
+    # warm up the compile caches (one song per distinct bucket)
+    warm = {p: None for p in set(paths)}
+    for p in warm:
+        FFmpegDecoder.song_from_path(p)
+
+    start = time.perf_counter()
+    results = list(
+        FFmpegDecoder.analyze_paths(paths, AnalysisOptions())
+    )
+    elapsed = time.perf_counter() - start
+
+    ok = sum(1 for _, r in results if isinstance(r, Song))
+    assert ok == n_songs, f"only {ok}/{n_songs} songs analyzed"
+    songs_per_sec = n_songs / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "songs_per_sec",
+                "value": round(songs_per_sec, 3),
+                "unit": "songs/s",
+                "vs_baseline": round(songs_per_sec / BASELINE_SONGS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

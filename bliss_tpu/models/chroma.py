@@ -275,7 +275,10 @@ def chroma_features(
     Mirrors ChromaDesc::do_ + get_values (src/chroma.rs:73-126).
     """
     if dtype is None:
-        dtype = jnp.float64 if jnp.zeros((), jnp.float64).dtype == jnp.float64 else jnp.float32
+        # f64 where available (x64-enabled CPU parity tests), else f32 (TPU)
+        import jax
+
+        dtype = jax.dtypes.canonicalize_dtype(np.float64)
     t = signal.shape[-1]
     n_frames_max = int(n_frames_stft(t, HOP_SIZE))
     n_valid = n_frames_stft(jnp.asarray(length, jnp.int32), HOP_SIZE)

@@ -1,0 +1,155 @@
+"""Playlist engine tests, mirroring src/playlist.rs:487-1661."""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from bliss_tpu import Analysis, FeaturesVersion, Song
+from bliss_tpu.errors import ProviderError
+from bliss_tpu.playlist import (
+    ForestOptions,
+    closest_album_to_group,
+    closest_to_songs,
+    cosine_distance,
+    dedup_playlist,
+    dedup_playlist_custom_distance,
+    euclidean_distance,
+    mahalanobis_distance,
+    mahalanobis_distance_builder,
+    song_to_song,
+    variance_based_weight_matrix,
+)
+
+
+def _song(path, vec, title=None, artist=None, album=None, track=None, disc=None):
+    v = np.zeros(23, np.float32)
+    v[: len(vec)] = vec
+    return Song(
+        path=pathlib.Path(path),
+        title=title,
+        artist=artist,
+        album=album,
+        track_number=track,
+        disc_number=disc,
+        analysis=Analysis(v, FeaturesVersion.VERSION2),
+    )
+
+
+def test_euclidean_distance():
+    a = np.array([1.0, 1.0])
+    b = np.array([0.0, 0.0])
+    assert abs(euclidean_distance(a, b) - np.sqrt(2.0)) < 1e-6
+    assert euclidean_distance(a, a) == 0.0
+
+
+def test_cosine_distance():
+    a = np.array([1.0, 0.0])
+    b = np.array([0.0, 1.0])
+    assert abs(cosine_distance(a, b) - 1.0) < 1e-6
+    assert abs(cosine_distance(a, a)) < 1e-6
+
+
+def test_mahalanobis():
+    m = np.diag([2.0, 0.5])
+    a = np.array([1.0, 1.0], np.float32)
+    b = np.array([0.0, 0.0], np.float32)
+    assert abs(mahalanobis_distance(a, b, m) - np.sqrt(2.5)) < 1e-6
+    builder = mahalanobis_distance_builder(m)
+    assert abs(builder(a, b) - np.sqrt(2.5)) < 1e-6
+
+
+def test_variance_based_weight_matrix():
+    s1 = np.array([0.3, 0.8, 0.5], np.float32)
+    s2 = np.array([0.3, 0.2, 0.5], np.float32)
+    m = variance_based_weight_matrix([s1, s2])
+    assert m[0, 0] > m[1, 1]
+    assert abs(np.trace(m) - 3.0) < 1e-4
+    with pytest.raises(ProviderError):
+        variance_based_weight_matrix([s1])
+
+
+def test_closest_to_songs():
+    first = _song("a", [0.0])
+    pool = [_song(f"p{i}", [float(i)]) for i in [3, 1, 2, 5, 4]]
+    out = closest_to_songs([first], pool, euclidean_distance)
+    assert [str(s.path) for s in out] == ["p1", "p2", "p3", "p4", "p5"]
+
+
+def test_song_to_song():
+    first = _song("a", [0.0])
+    pool = [_song(f"p{i}", [float(i)]) for i in [3, 1, 2, 5, 4]]
+    out = song_to_song([first], pool, euclidean_distance)
+    assert [str(s.path) for s in out] == ["p1", "p2", "p3", "p4", "p5"]
+
+
+def test_song_to_song_with_builder():
+    # set-metric path: isolation forest via the builder protocol
+    rng = np.random.default_rng(0)
+    cluster_a = [
+        _song(f"a{i}", rng.normal(0.0, 0.01, 23)) for i in range(30)
+    ]
+    outlier = _song("outlier", np.full(23, 5.0))
+    forest = ForestOptions(n_trees=100, sample_size=20, seed=1)
+    out = closest_to_songs(cluster_a[:5], cluster_a[5:] + [outlier], forest)
+    # the outlier must rank last
+    assert str(out[-1].path) == "outlier"
+
+
+def test_dedup_playlist():
+    s1 = _song("1", [0.0])
+    s2 = _song("2", [0.001])  # dup of s1
+    s3 = _song("3", [1.0])
+    out = dedup_playlist([s1, s2, s3], None)
+    assert [str(s.path) for s in out] == ["1", "3"]
+    # larger threshold drops everything close
+    out = dedup_playlist([s1, s2, s3], 20.0)
+    assert [str(s.path) for s in out] == ["1"]
+    # zero threshold keeps everything distinct
+    out = dedup_playlist([s1, s2, s3], 0.0)
+    assert [str(s.path) for s in out] == ["1", "2", "3"]
+
+
+def test_dedup_title_artist():
+    s1 = _song("1", [0.0], title="T", artist="A")
+    s2 = _song("2", [9.0], title="T", artist="A")  # same tags, far analysis
+    s3 = _song("3", [1.0], title="U", artist="A")
+    out = dedup_playlist_custom_distance([s1, s2, s3], None, euclidean_distance)
+    assert [str(s.path) for s in out] == ["1", "3"]
+
+
+def test_closest_album_to_group():
+    group = [_song("g1", [0.0], album="Seed", track=1)]
+    pool = [
+        _song("y2", [0.1], album="Y", track=2, disc=1),
+        _song("y1", [0.1], album="Y", track=1, disc=1),
+        _song("z1", [5.0], album="Z", track=1),
+        _song("no-album", [0.0]),
+    ]
+    out = closest_album_to_group(group, pool)
+    assert [str(s.path) for s in out] == ["g1", "y1", "y2", "z1"]
+
+
+def test_forest_distance_scalar_matches_batch():
+    rng = np.random.default_rng(2)
+    seeds = [rng.normal(size=23) for _ in range(25)]
+    forest = ForestOptions(n_trees=50, sample_size=20, seed=3).build(seeds)
+    x = rng.normal(size=(4, 23))
+    batch = forest.distances(x)
+    for i in range(4):
+        assert abs(forest.distance(x[i]) - batch[i]) < 1e-6
+
+
+def test_batched_matches_scalar_metrics():
+    rng = np.random.default_rng(4)
+    seeds = [_song(f"s{i}", rng.normal(size=23)) for i in range(3)]
+    pool = [_song(f"p{i}", rng.normal(size=23)) for i in range(10)]
+    ordered = closest_to_songs(seeds, pool, euclidean_distance)
+    # brute-force reference ordering
+    seed_vecs = [s.analysis.as_arr1() for s in seeds]
+    def dist(song):
+        return sum(
+            euclidean_distance(v, song.analysis.as_arr1()) for v in seed_vecs
+        )
+    expected = sorted(pool, key=dist)
+    assert [str(s.path) for s in ordered] == [str(s.path) for s in expected]
