@@ -26,6 +26,7 @@ BASELINE_SONGS_PER_SEC = 3.0  # reference README: 10k songs in ~56 min
 def main():
     n_songs = int(os.environ.get("BLISS_BENCH_SONGS", "32"))
 
+    from bliss_tpu.io.batch import analyze_paths_batched
     from bliss_tpu.io.decoder import FFmpegDecoder
     from bliss_tpu.song import AnalysisOptions, Song
 
@@ -38,14 +39,13 @@ def main():
     ]
     paths = [fixtures[i % len(fixtures)] for i in range(n_songs)]
 
-    # warm up the compile caches (one song per distinct bucket)
-    warm = {p: None for p in set(paths)}
-    for p in warm:
-        FFmpegDecoder.song_from_path(p)
+    # warm up the compile caches (one batch per distinct bucket)
+    warm = sorted(set(paths))
+    list(analyze_paths_batched(FFmpegDecoder, warm, AnalysisOptions()))
 
     start = time.perf_counter()
     results = list(
-        FFmpegDecoder.analyze_paths(paths, AnalysisOptions())
+        analyze_paths_batched(FFmpegDecoder, paths, AnalysisOptions())
     )
     elapsed = time.perf_counter() - start
 
