@@ -197,10 +197,21 @@ def _quad_peak_pos(x: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
 
 
 def _autocorr(df: jnp.ndarray) -> jnp.ndarray:
-    """vec_autocorr (src/aubio.rs:819-828): acf[i] = sum_j df[j-i]df[j] / (n-i)."""
+    """vec_autocorr (src/aubio.rs:819-828): acf[i] = sum_j df[j-i]df[j] / (n-i).
+
+    Expressed as a shifted-Toeplitz gather + matvec: `jnp.correlate`
+    lowers to a convolution that compiles pathologically slowly on TPU,
+    while a [n, n] gather feeding the MXU compiles instantly and n=512
+    is tiny.
+    """
     n = df.shape[0]
-    full = jnp.correlate(df, df, mode="full")  # [2n-1]
-    acf = full[n - 1 :]  # lags 0..n-1
+    i = jnp.arange(n, dtype=jnp.int32)
+    shift = i[None, :] - i[:, None]  # row i, col j -> j - i
+    valid = shift >= 0
+    toeplitz = jnp.where(
+        valid, df[jnp.clip(shift, 0, n - 1)], jnp.zeros((), df.dtype)
+    )
+    acf = toeplitz @ df
     return acf / (n - jnp.arange(n, dtype=df.dtype))
 
 
