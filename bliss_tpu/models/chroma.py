@@ -104,7 +104,8 @@ def chroma_filter(n_fft: int, tuning, dtype, sample_rate: int = SAMPLE_RATE):
 
     # L2-normalize columns (src/chroma.rs:240-247)
     norm = jnp.sqrt(jnp.sum(wts * wts, axis=0))
-    norm = jnp.where(norm < np.finfo(np.float64).tiny, 1.0, norm)
+    tiny = jnp.finfo(wts.dtype).tiny
+    norm = jnp.where(norm < tiny, 1.0, norm)
     wts = wts / norm
 
     ctroct, octwidth = 5.0, 2.0
@@ -144,7 +145,7 @@ def pip_track(spectrum: jnp.ndarray, frame_mask: jnp.ndarray, n_fft: int):
     avg = 0.5 * (after - before)
     shift_den = 2.0 * elem - after - before
     shift_den = jnp.where(
-        jnp.abs(shift_den) < np.finfo(np.float64).tiny, shift_den + 1.0, shift_den
+        jnp.abs(shift_den) < jnp.finfo(dtype).tiny, shift_den + 1.0, shift_den
     )
     shift = avg / shift_den
     rows = jnp.arange(elem.shape[0], dtype=dtype)[:, None] + (beginning + 1)
@@ -172,7 +173,7 @@ def estimate_tuning(
     threshold = masked_quantile_midpoint(mags, pos_mask, 0.5)
     sel = pos_mask & (mags >= threshold)
 
-    octs = hz_to_octs(jnp.maximum(pitches, np.finfo(np.float32).tiny), 0.0)
+    octs = hz_to_octs(jnp.maximum(pitches, jnp.finfo(dtype).tiny), 0.0)
     v = jnp.mod(bins_per_octave * octs, 1.0)
     v = jnp.where(v >= 0.5, v - 1.0, v)
     n_bins = int(round(1.0 / resolution))
@@ -198,7 +199,7 @@ def chroma_stft_from_spectrum(
     filt = chroma_filter(n_fft, tuning, dtype)
     raw = filt @ power
     colsum = jnp.sum(jnp.abs(raw), axis=0)
-    colsum = jnp.where(colsum < np.finfo(np.float64).tiny, 1.0, colsum)
+    colsum = jnp.where(colsum < jnp.finfo(dtype).tiny, 1.0, colsum)
     return raw / colsum
 
 
@@ -220,7 +221,7 @@ def extract_interval_features(chroma: jnp.ndarray) -> jnp.ndarray:
     underflows the product to ~0, matching `0^1 = 0`).
     """
     dtype = chroma.dtype
-    tiny = np.finfo(np.float64).tiny
+    tiny = jnp.finfo(dtype).tiny
     bank = jnp.asarray(_shifted_template_bank(), dtype)  # [120, 12]
     log_p = bank @ jnp.log(jnp.maximum(chroma, tiny))  # [120, T]
     p = jnp.exp(log_p)

@@ -12,19 +12,20 @@ import jax.numpy as jnp
 
 
 def masked_mean(values: jnp.ndarray, mask: jnp.ndarray, axis=-1) -> jnp.ndarray:
-    """Mean over `mask`-selected entries."""
-    mask = mask.astype(values.dtype)
-    n = jnp.sum(mask, axis=axis)
-    return jnp.sum(values * mask, axis=axis) / jnp.maximum(n, 1)
+    """Mean over `mask`-selected entries (NaN-safe in masked positions)."""
+    zero = jnp.zeros((), values.dtype)
+    n = jnp.sum(mask.astype(values.dtype), axis=axis)
+    return jnp.sum(jnp.where(mask, values, zero), axis=axis) / jnp.maximum(n, 1)
 
 
 def masked_std(values: jnp.ndarray, mask: jnp.ndarray, axis=-1) -> jnp.ndarray:
     """Population standard deviation (ddof=0) over masked entries,
-    two-pass like ndarray's `std_axis` (used at src/timbral.rs:59-121)."""
-    mask_f = mask.astype(values.dtype)
-    n = jnp.maximum(jnp.sum(mask_f, axis=axis), 1)
-    mean = jnp.sum(values * mask_f, axis=axis) / n
-    d = (values - jnp.expand_dims(mean, axis)) * mask_f
+    two-pass like ndarray's `std_axis` (used at src/timbral.rs:59-121).
+    NaN-safe in masked positions."""
+    zero = jnp.zeros((), values.dtype)
+    n = jnp.maximum(jnp.sum(mask.astype(values.dtype), axis=axis), 1)
+    mean = jnp.sum(jnp.where(mask, values, zero), axis=axis) / n
+    d = jnp.where(mask, values - jnp.expand_dims(mean, axis), zero)
     return jnp.sqrt(jnp.sum(d * d, axis=axis) / n)
 
 

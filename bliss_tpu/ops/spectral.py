@@ -10,14 +10,40 @@ purely-real DC/Nyquist bins) unchanged.
 
 from __future__ import annotations
 
+import os
+
+import jax
 import jax.numpy as jnp
 
+from .dft import rdft_mags
 from .windows import (
     frame_signal,
     frame_signal_reflect,
     hann_periodic,
     n_frames_stft,
 )
+
+
+def _use_matmul_dft() -> bool:
+    """MXU matmul-DFT on accelerators, rfft on CPU (f64 golden parity).
+
+    Override with BLISS_FFT=fft|dft.
+    """
+    forced = os.environ.get("BLISS_FFT")
+    if forced == "fft":
+        return False
+    if forced == "dft":
+        return True
+    return jax.default_backend() != "cpu"
+
+
+def _windowed_mags(frames: jnp.ndarray) -> jnp.ndarray:
+    """Hann-windowed magnitude spectrum [..., W] → [..., W//2+1]."""
+    w = frames.shape[-1]
+    windowed = frames * hann_periodic(w)
+    if _use_matmul_dft():
+        return rdft_mags(windowed)
+    return jnp.abs(jnp.fft.rfft(windowed, axis=-1))
 
 
 def stft(
@@ -43,8 +69,7 @@ def stft(
     if n_frames is None:
         n_frames = int(n_frames_stft(t, hop_length))
     frames = frame_signal_reflect(signal, length, window_length, hop_length, n_frames)
-    windowed = frames * hann_periodic(window_length)
-    mags = jnp.abs(jnp.fft.rfft(windowed, axis=-1))
+    mags = _windowed_mags(frames)
     if dtype is not None:
         mags = mags.astype(dtype)
     return mags.T
@@ -56,9 +81,7 @@ def pvoc_mags(frames: jnp.ndarray) -> jnp.ndarray:
     Reference: src/aubio.rs:274-426. Input `[..., n_frames, window]`,
     output `[..., n_frames, window//2 + 1]`.
     """
-    w = frames.shape[-1]
-    windowed = frames * hann_periodic(w)
-    return jnp.abs(jnp.fft.rfft(windowed, axis=-1))
+    return _windowed_mags(frames)
 
 
 def pvoc_mags_buggy(frames: jnp.ndarray) -> jnp.ndarray:
@@ -71,8 +94,7 @@ def pvoc_mags_buggy(frames: jnp.ndarray) -> jnp.ndarray:
     """
     w = frames.shape[-1]
     half = w // 2
-    windowed = frames * hann_periodic(w)
-    mags = jnp.abs(jnp.fft.rfft(windowed, axis=-1))  # [..., half+1]
+    mags = _windowed_mags(frames)  # [..., half+1]
     return jnp.concatenate([mags[..., : half - 1], mags[..., half:]], axis=-1)
 
 

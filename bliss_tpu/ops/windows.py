@@ -54,6 +54,23 @@ def reflect_pad(array: jnp.ndarray, pad: int) -> jnp.ndarray:
     return jnp.concatenate([prefix, array, suffix])
 
 
+def _slice_frames(
+    padded: jnp.ndarray, starts: jnp.ndarray, window_length: int
+) -> jnp.ndarray:
+    """Gather contiguous `window_length` windows at `starts`.
+
+    vmapped `dynamic_slice` lowers to an XLA gather whose slice covers the
+    whole (contiguous) window — a handful of DMA-friendly row copies —
+    instead of the n_frames x window pointwise gather `jnp.take` with a
+    2-D index array produces (which runs ~30x slower on TPU).
+    """
+    import jax
+
+    return jax.vmap(
+        lambda s: jax.lax.dynamic_slice(padded, (s,), (window_length,))
+    )(starts)
+
+
 def frame_signal(
     signal: jnp.ndarray,
     window_length: int,
@@ -72,14 +89,17 @@ def frame_signal(
     t = signal.shape[-1]
     if n_frames is None:
         n_frames = int(n_frames_strided(t, window_length, hop_length))
-    pos = (
-        jnp.arange(n_frames, dtype=jnp.int32)[:, None] * hop_length
-        + jnp.arange(window_length, dtype=jnp.int32)[None, :]
-        - offset
-    )
-    valid = (pos >= 0) & (pos < t)
-    gathered = jnp.take(signal, jnp.clip(pos, 0, t - 1), axis=-1)
-    return jnp.where(valid, gathered, jnp.zeros((), signal.dtype))
+    if offset:
+        signal = jnp.concatenate(
+            [jnp.zeros((offset,), signal.dtype), signal]
+        )
+    # dynamic_slice clamps out-of-range starts; pad the tail so the last
+    # frames read zeros instead of sliding backwards
+    tail = (n_frames - 1) * hop_length + window_length - (t + offset)
+    if tail > 0:
+        signal = jnp.concatenate([signal, jnp.zeros((tail,), signal.dtype)])
+    starts = jnp.arange(n_frames, dtype=jnp.int32) * hop_length
+    return _slice_frames(signal, starts, window_length)
 
 
 def frame_signal_reflect(
@@ -89,25 +109,33 @@ def frame_signal_reflect(
     hop_length: int,
     n_frames: int,
 ) -> jnp.ndarray:
-    """Frame a reflect-padded signal without materializing the padding.
+    """Frame a reflect-padded signal with a *dynamic* valid `length`.
 
     Equivalent to `reflect_pad(signal[:length], window//2)` followed by
-    strided framing (reference stft, src/utils.rs:26-64), but expressed as
-    a single reflected gather so it works under jit with a *dynamic*
-    `length` over a statically-shaped `signal` buffer.
+    strided framing (reference stft, src/utils.rs:26-64). The static
+    prefix reflection is a reversed slice; the dynamic suffix reflection
+    around `length` is one `pad`-sized reversed dynamic slice scattered at
+    `length + pad`; frames then become contiguous window slices.
 
     Requires `window_length // 2 <= length - 1` (guaranteed by the
-    reference's minimum-song-length check, src/song/mod.rs:417-429).
+    reference's minimum-song-length check, src/song/mod.rs:417-429) and
+    zeros in `signal` beyond `length`.
     """
+    import jax
+
     t = signal.shape[-1]
     pad = window_length // 2
-    pos = (
-        jnp.arange(n_frames, dtype=jnp.int32)[:, None] * hop_length
-        + jnp.arange(window_length, dtype=jnp.int32)[None, :]
-        - pad
-    )
     length = jnp.asarray(length, jnp.int32)
-    idx = jnp.where(pos < 0, -pos, pos)
-    idx = jnp.where(idx >= length, 2 * (length - 1) - idx, idx)
-    idx = jnp.clip(idx, 0, t - 1)
-    return jnp.take(signal, idx, axis=-1)
+
+    prefix = signal[1 : pad + 1][::-1]
+    padded = jnp.concatenate(
+        [prefix, signal, jnp.zeros((pad + window_length,), signal.dtype)]
+    )
+    # suffix reflection: padded[pad + length + i] = signal[length - 2 - i]
+    tail_src = jax.lax.dynamic_slice(
+        padded, (jnp.maximum(length - 1 - pad, 0) + pad,), (pad,)
+    )[::-1]
+    padded = jax.lax.dynamic_update_slice(padded, tail_src, (pad + length,))
+
+    starts = jnp.arange(n_frames, dtype=jnp.int32) * hop_length
+    return _slice_frames(padded, starts, window_length)
