@@ -26,6 +26,16 @@ BASELINE_SONGS_PER_SEC = 3.0  # reference README: 10k songs in ~56 min
 def main():
     n_songs = int(os.environ.get("BLISS_BENCH_SONGS", "32"))
 
+    # persistent compile cache: the axon remote-compile path is slow and
+    # erratic; caching makes repeat bench runs measure compute, not XLA
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/bliss_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from bliss_tpu.io.batch import analyze_paths_batched
     from bliss_tpu.io.decoder import FFmpegDecoder
     from bliss_tpu.song import AnalysisOptions, Song

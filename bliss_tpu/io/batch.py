@@ -39,11 +39,14 @@ class _Decoded:
     cue_sibling: bool = False
 
 
-def _analyze_bucket(
+def _analyze_bucket_async(
     entries: List[_Decoded], padded_len: int, batch: int, version: int
 ):
-    """Run one padded [B, T] batch through the vmapped analyzer."""
-    from ..models.analyzer import analyze_batch
+    """Dispatch one padded [B, T] batch; return the un-fetched device array
+    so the next batch's decode/dispatch overlaps this one's compute."""
+    import jax.numpy as jnp
+
+    from ..models.analyzer import _compiled_batch
 
     buf = np.zeros((batch, padded_len), np.float32)
     lengths = np.full((batch,), MIN_SAMPLES, np.int32)
@@ -51,8 +54,8 @@ def _analyze_bucket(
         n = e.raw.sample_array.shape[0]
         buf[i, :n] = e.raw.sample_array
         lengths[i] = n
-    feats = analyze_batch(buf, lengths, version)
-    return feats[: len(entries)]
+    fn = _compiled_batch(padded_len, version)
+    return fn(jnp.asarray(buf), jnp.asarray(lengths))
 
 
 def analyze_paths_batched(
@@ -100,14 +103,19 @@ def analyze_paths_batched(
         return out
 
     buckets: dict = {}
+    in_flight: list = []  # [(entries, device_features)]
 
-    def flush(bucket_key, entries):
-        padded_len, _ = bucket_key
-        feats = _analyze_bucket(entries, padded_len, batch_size, version)
-        results = []
-        for e, f in zip(entries, feats):
-            results.append((e.path, _make_song(e.raw, f, options)))
-        return results
+    def dispatch(bucket_key, entries):
+        padded_len, b = bucket_key
+        feats = _analyze_bucket_async(entries, padded_len, b, version)
+        in_flight.append((entries, feats))
+
+    def drain(keep: int = 0):
+        while len(in_flight) > keep:
+            entries, feats = in_flight.pop(0)
+            host = np.asarray(feats)[: len(entries)]
+            for e, f in zip(entries, host):
+                yield e.path, _make_song(e.raw, f, options)
 
     with ThreadPoolExecutor(max_workers=workers) as pool:
         for decoded_list in pool.map(decode_one, enumerate(paths)):
@@ -124,10 +132,13 @@ def analyze_paths_batched(
                 key = (padded, b)
                 buckets.setdefault(key, []).append(d)
                 if len(buckets[key]) == b:
-                    entries = buckets.pop(key)
-                    yield from flush((padded, b), entries)
+                    dispatch(key, buckets.pop(key))
+                    # keep one batch in flight: fetch older results while
+                    # the device crunches the freshly dispatched batch
+                    yield from drain(keep=1)
         for key, entries in list(buckets.items()):
-            yield from flush(key, entries)
+            dispatch(key, entries)
+        yield from drain()
 
 
 def _decode_cue(decoder_cls, path, order) -> List[_Decoded]:

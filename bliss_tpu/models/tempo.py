@@ -215,29 +215,6 @@ def _autocorr(df: jnp.ndarray) -> jnp.ndarray:
     return acf / (n - jnp.arange(n, dtype=df.dtype))
 
 
-def _comb_filterbank(acf: jnp.ndarray, laglen: int, numelem, weighted: bool):
-    """Shift-invariant comb filterbank (src/aubio.rs:992-1000 weighted by
-    1/(2a-1), and :1118-1127 unweighted in checkstate).
-
-    `numelem` is traced (timesig-dependent); harmonics a=1..4 are unrolled
-    statically and masked.
-    """
-    n = acf.shape[0]
-    i = jnp.arange(laglen, dtype=jnp.int32)  # lag index
-    out = jnp.zeros((laglen,), acf.dtype)
-    for a in range(1, 5):
-        idx = i[:, None] * a + jnp.arange(1, 2 * a)[None, :] - 1  # [laglen, 2a-1]
-        valid = idx < n
-        vals = jnp.where(valid, acf[jnp.clip(idx, 0, n - 1)], 0.0)
-        contrib = jnp.sum(vals, axis=1)
-        if weighted:
-            contrib = contrib / jnp.float32(2 * a - 1)
-        out = out + jnp.where(a <= numelem, contrib, 0.0)
-    # only i in [1, laglen-1) accumulates (loop bounds in reference)
-    interior = (i >= 1) & (i < laglen - 1)
-    return jnp.where(interior, out, 0.0)
-
-
 def _get_timesig(acf: jnp.ndarray, gp_int: jnp.ndarray) -> jnp.ndarray:
     """Time-signature estimate from the autocorrelation
     (src/aubio.rs:864-907)."""
@@ -267,8 +244,82 @@ def _get_timesig(acf: jnp.ndarray, gp_int: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(gp_int < 2, 4, timesig)
 
 
+class BlockInputs(NamedTuple):
+    """Per-block quantities that do NOT depend on the sequential
+    hypothesis state — precomputed batched outside the scan.
+
+    The detection-function buffer at beat-tracking run k is a pure
+    strided window of the thresholded series (writes/rotations never feed
+    back into it), so the autocorrelation, the comb filterbanks for both
+    possible time signatures, and the Rayleigh-weighted period candidates
+    are all batched matmuls/gathers over `[n_blocks, ...]`, leaving only
+    the tiny two-state hypothesis machine in the scan.
+    """
+
+    acf: jnp.ndarray  # [winlen]
+    dfrev: jnp.ndarray  # [winlen]
+    rp_if4: jnp.ndarray  # f32 — rp when numelem == 4
+    rp_if3: jnp.ndarray  # f32 — rp when numelem == 3
+    comb_u3: jnp.ndarray  # [laglen] unweighted comb, timesig=3
+    comb_u4: jnp.ndarray  # [laglen] unweighted comb, timesig=4
+
+
+def _precompute_blocks(
+    thresh_masked: jnp.ndarray, n_blocks: int, consts: _BTConstants
+) -> BlockInputs:
+    """Batched per-block precomputation (see BlockInputs)."""
+    winlen, step, laglen = consts.winlen, consts.step, consts.laglen
+    # dfframe at run k holds thresholded[s + step*k - (winlen - step + 1)]
+    # at slot s (derived from the write/rotate pattern of
+    # src/aubio.rs:1389-1416; slot winlen-step stays 0 in the first block)
+    dfframes = frame_signal(
+        thresh_masked, winlen, step, offset=winlen - step + 1,
+        n_frames=n_blocks,
+    )  # [NB, winlen]
+    acfs = jax.vmap(_autocorr)(dfframes)
+    dfrevs = (dfframes * jnp.asarray(consts.dfwv))[:, ::-1]
+
+    # comb filterbank contributions per harmonic a (batched gathers)
+    i = jnp.arange(laglen, dtype=jnp.int32)
+    interior = (i >= 1) & (i < laglen - 1)
+    contribs = []
+    for a in range(1, 5):
+        idx = i[:, None] * a + jnp.arange(1, 2 * a)[None, :] - 1
+        valid = idx < winlen
+        vals = jnp.where(
+            valid[None], acfs[:, jnp.clip(idx, 0, winlen - 1)], 0.0
+        )
+        contribs.append(jnp.sum(vals, axis=2) * interior[None])
+    c1, c2, c3, c4 = contribs
+    w = [jnp.float32(1.0 / (2 * a - 1)) for a in range(1, 5)]
+    comb_w3 = c1 * w[0] + c2 * w[1] + c3 * w[2]
+    comb_w4 = comb_w3 + c4 * w[3]
+    comb_u3 = c1 + c2 + c3
+    comb_u4 = comb_u3 + c4
+
+    rwv = jnp.asarray(consts.rwv)
+
+    def rp_of(comb_w):
+        rayacf = comb_w * rwv
+        maxindex = jax.vmap(_vec_max_elem)(rayacf)
+        interp = jax.vmap(_quad_peak_pos)(rayacf, maxindex)
+        return jnp.where(
+            (maxindex > 0) & (maxindex < laglen - 1),
+            interp,
+            jnp.float32(consts.rayparam_trunc),
+        )
+
+    return BlockInputs(
+        acf=acfs,
+        dfrev=dfrevs,
+        rp_if4=rp_of(comb_w4),
+        rp_if3=rp_of(comb_w3),
+        comb_u3=comb_u3,
+        comb_u4=comb_u4,
+    )
+
+
 class BeatState(NamedTuple):
-    dfframe: jnp.ndarray  # [winlen]
     gwv: jnp.ndarray  # [laglen]
     phwv: jnp.ndarray  # [2*laglen]
     timesig: jnp.ndarray  # i32
@@ -285,7 +336,6 @@ class BeatState(NamedTuple):
 def initial_beat_state(consts: _BTConstants) -> BeatState:
     f32 = jnp.float32
     return BeatState(
-        dfframe=jnp.zeros((consts.winlen,), f32),
         gwv=jnp.zeros((consts.laglen,), f32),
         phwv=jnp.ones((2 * consts.laglen,), f32),
         timesig=jnp.int32(0),
@@ -300,22 +350,19 @@ def initial_beat_state(consts: _BTConstants) -> BeatState:
     )
 
 
-def _checkstate(state: BeatState, acf: jnp.ndarray, rp, consts: _BTConstants):
+def _checkstate(state: BeatState, xs: BlockInputs, rp, consts: _BTConstants):
     """BeatTracking::checkstate (src/aubio.rs:1096-1227)."""
     laglen = consts.laglen
     step = float(consts.step)
     g_var = jnp.float32(consts.g_var)
+    acf = xs.acf
 
-    # context-model gp update
-    def gp_branch(_):
-        acfout = _comb_filterbank(acf, laglen, state.timesig, weighted=False)
-        acfout = acfout * state.gwv
-        maxindex = _vec_max_elem(acfout)
-        return _quad_peak_pos(acfout, maxindex)
-
-    gp = jax.lax.cond(
-        state.gp > 0.0, gp_branch, lambda _: jnp.float32(0.0), None
-    )
+    # context-model gp update (comb filterbanks precomputed per block;
+    # when gp > 0, timesig is always 3 or 4)
+    comb_u = jnp.where(state.timesig == 4, xs.comb_u4, xs.comb_u3)
+    acfout = comb_u * state.gwv
+    gp_cand = _quad_peak_pos(acfout, _vec_max_elem(acfout))
+    gp = jnp.where(state.gp > 0.0, gp_cand, jnp.float32(0.0))
 
     # two-stage counter/flagstep update (src/aubio.rs:1142-1165): the first
     # `if` may set counter=3, and the follow-up `else if counter > 0`
@@ -397,28 +444,16 @@ def _checkstate(state: BeatState, acf: jnp.ndarray, rp, consts: _BTConstants):
     )
 
 
-def _bt_do(state: BeatState, consts: _BTConstants):
-    """BeatTracking::do_ (src/aubio.rs:966-1092). Returns
-    (new_state, beats[_MAX_BEATS], n_beats)."""
+def _bt_do(state: BeatState, xs: BlockInputs, consts: _BTConstants):
+    """BeatTracking::do_ (src/aubio.rs:966-1092) over precomputed block
+    inputs. Returns (new_state, beats[_MAX_BEATS], beat_fires)."""
     winlen, step, laglen = consts.winlen, consts.step, consts.laglen
-    dfframe = state.dfframe
-    rwv = jnp.asarray(consts.rwv)
-    dfwv = jnp.asarray(consts.dfwv)
+    dfrev = xs.dfrev
 
-    numelem = jnp.where(state.timesig == 0, 4, state.timesig)
-    dfrev = (dfframe * dfwv)[::-1]
-    acf = _autocorr(dfframe)
+    # numelem = 4 unless timesig == 3 (timesig in {0, 3, 4})
+    rp = jnp.where(state.timesig == 3, xs.rp_if3, xs.rp_if4)
 
-    acfout = _comb_filterbank(acf, laglen, numelem, weighted=True)
-    acfout = acfout * rwv
-    maxindex = _vec_max_elem(acfout)
-    rp = jnp.where(
-        (maxindex > 0) & (maxindex < laglen - 1),
-        _quad_peak_pos(acfout, maxindex),
-        jnp.float32(consts.rayparam_trunc),
-    )
-
-    state = _checkstate(state, acf, rp, consts)
+    state = _checkstate(state, xs, rp, consts)
     bp = state.bp
 
     # --- beat phase (src/aubio.rs:1017-1091)
@@ -519,36 +554,28 @@ def tempo_feature(signal: jnp.ndarray, length, sample_rate: int = 22050):
     silent = silence_flags(raw_frames)
 
     # --- sequential beat tracking, one scan step per `step` hops.
-    # Block k runs BeatTracking at hop 127+128k on the dfframe built from
-    # prior writes, then hops [127+128k, 127+128(k+1)) fill slots
-    # [winlen-step, winlen) (src/aubio.rs:1389-1416).
+    # Block k runs BeatTracking at hop 127+128k on a detection-function
+    # buffer that is a pure strided window of the thresholded series
+    # (src/aubio.rs:1389-1416), so everything except the hypothesis state
+    # machine is precomputed batched (see _precompute_blocks).
     n_blocks = max((h_max - (step - 1) - 1) // step + 1, 0)
     if n_blocks == 0:
         return jnp.float32(-1.0)
 
-    hop_slot = jnp.arange(step, dtype=jnp.int32)
+    thresh_masked = jnp.where(
+        jnp.arange(h_max, dtype=jnp.int32) < h_valid, thresh, 0.0
+    )
+    block_inputs = _precompute_blocks(thresh_masked, n_blocks, consts)
 
-    # initial dfframe: hops 0..step-2 wrote slots winlen-step+1..winlen-1
-    pad_thresh = jnp.concatenate(
-        [thresh, jnp.zeros((step,), thresh.dtype)]
-    )
-    init_writes = jnp.where(
-        (hop_slot >= 1) & (hop_slot - 1 < jnp.minimum(h_valid, step - 1)),
-        pad_thresh[jnp.clip(hop_slot - 1, 0, h_max)],
-        0.0,
-    )
     state0 = initial_beat_state(consts)
-    state0 = state0._replace(
-        dfframe=state0.dfframe.at[winlen - step :].set(init_writes)
-    )
-
     pad_silent = jnp.concatenate([silent, jnp.ones((step,), jnp.bool_)])
 
-    def block(state, k):
+    def block(state, xs_k):
+        xs, k = xs_k
         hk = (step - 1) + step * k  # hop index of the BT run
         block_valid = hk < h_valid
 
-        new_state, beat_vals, beat_fires = _bt_do(state, consts)
+        new_state, beat_vals, beat_fires = _bt_do(state, xs, consts)
         bpm = jnp.where(
             new_state.bp != 0.0,
             60.0
@@ -575,26 +602,15 @@ def tempo_feature(signal: jnp.ndarray, length, sample_rate: int = 22050):
         )
         bpm_out = jnp.where(fire, bpm, 0.0)
 
-        # rotate dfframe left by step, write this block's thresholded values
-        hops = hk + hop_slot
-        writes = jnp.where(
-            hops < h_valid, pad_thresh[jnp.clip(hops, 0, h_max + step - 1)], 0.0
-        )
-        rotated = jnp.concatenate(
-            [new_state.dfframe[step:], jnp.zeros((step,), jnp.float32)]
-        )
-        dfframe = rotated.at[winlen - step :].set(
-            jnp.where(hops < h_valid, writes, rotated[winlen - step :])
-        )
-        new_state = new_state._replace(dfframe=dfframe)
-
         out_state = jax.tree.map(
             lambda new, old: jnp.where(block_valid, new, old), new_state, state
         )
         return out_state, (bpm_out, fire)
 
     _, (bpms, fires) = jax.lax.scan(
-        block, state0, jnp.arange(n_blocks, dtype=jnp.int32)
+        block,
+        state0,
+        (block_inputs, jnp.arange(n_blocks, dtype=jnp.int32)),
     )
     bpms = bpms.ravel()
     fires = fires.ravel()
