@@ -53,11 +53,26 @@ def main():
     warm = sorted(set(paths))
     list(analyze_paths_batched(FFmpegDecoder, warm, AnalysisOptions()))
 
+    # decode-only pass to attribute host vs device time (optional)
+    decode_s = None
+    if os.environ.get("BLISS_BENCH_VERBOSE"):
+        t0 = time.perf_counter()
+        for p in paths:
+            FFmpegDecoder.decode(p)
+        decode_s = time.perf_counter() - t0
+
     start = time.perf_counter()
     results = list(
         analyze_paths_batched(FFmpegDecoder, paths, AnalysisOptions())
     )
     elapsed = time.perf_counter() - start
+    if decode_s is not None:
+        import sys
+
+        print(
+            f"# decode-only: {decode_s:.2f}s; decode+analyze: {elapsed:.2f}s",
+            file=sys.stderr,
+        )
 
     ok = sum(1 for _, r in results if isinstance(r, Song))
     assert ok == n_songs, f"only {ok}/{n_songs} songs analyzed"

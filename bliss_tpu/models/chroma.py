@@ -60,18 +60,22 @@ _TEMPLATES = np.array(
 
 
 @functools.lru_cache(maxsize=None)
-def _shifted_template_bank() -> np.ndarray:
-    """[10*12, 12] binary exponent matrix: template t rotated right by s.
+def _template_product_indices() -> np.ndarray:
+    """[10*12, 3] pitch-class indices of the active template entries.
 
-    Row `t*12 + s`, column `k` is `templates[:, t]` rolled right by `s`
-    evaluated at pitch class `k` (src/chroma.rs:163-166).
+    Every rolled template (src/chroma.rs:163-166) selects 2-3 pitch
+    classes; the product-of-powers is just the product of those entries.
+    Index 12 is a dummy pointing at an all-ones row (for 2-entry dyads).
+    Direct products avoid an exp/log round-trip whose transcendental
+    error dominates f32 chroma accuracy on TPU.
     """
-    bank = np.zeros((10 * 12, 12), dtype=np.float64)
+    out = np.full((10 * 12, 3), 12, dtype=np.int32)
     for t in range(10):
         template = _TEMPLATES[:, t]
         for s in range(12):
-            bank[t * 12 + s] = np.roll(template, s)
-    return bank
+            idx = np.flatnonzero(np.roll(template, s))
+            out[t * 12 + s, : len(idx)] = idx
+    return out
 
 
 def hz_to_octs(frequencies: jnp.ndarray, tuning, bins_per_octave: int = 12):
@@ -213,18 +217,15 @@ def normalize_feature_sequence(feature: jnp.ndarray) -> jnp.ndarray:
 
 def extract_interval_features(chroma: jnp.ndarray) -> jnp.ndarray:
     """[10, n_frames] product-of-powers over the rolled template bank
-    (extract_interval_features, src/chroma.rs:157-175), via one
-    [120,12] x [12,T] log-domain matmul on the MXU.
-
-    `chroma` entries must be >= 0; zeros are clamped to the smallest
-    positive double so the log stays finite (a selected zero then
-    underflows the product to ~0, matching `0^1 = 0`).
+    (extract_interval_features, src/chroma.rs:157-175) as direct gathered
+    products: each rolled template activates only 2-3 pitch classes.
     """
     dtype = chroma.dtype
-    tiny = jnp.finfo(dtype).tiny
-    bank = jnp.asarray(_shifted_template_bank(), dtype)  # [120, 12]
-    log_p = bank @ jnp.log(jnp.maximum(chroma, tiny))  # [120, T]
-    p = jnp.exp(log_p)
+    idx = jnp.asarray(_template_product_indices())  # [120, 3]
+    ext = jnp.concatenate(
+        [chroma, jnp.ones((1, chroma.shape[1]), dtype)], axis=0
+    )  # row 12 = neutral element
+    p = ext[idx[:, 0]] * ext[idx[:, 1]] * ext[idx[:, 2]]  # [120, T]
     return jnp.sum(p.reshape(10, 12, -1), axis=1)  # sum over the 12 shifts
 
 
