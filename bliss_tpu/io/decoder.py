@@ -14,6 +14,7 @@ releases the GIL) while the TPU analyzes the previous batch.
 from __future__ import annotations
 
 import ctypes
+import logging
 import os
 import pathlib
 import subprocess
@@ -26,6 +27,8 @@ import numpy as np
 
 from ..errors import BlissError, DecodingError
 from ..features import SAMPLE_RATE
+
+logger = logging.getLogger("bliss_tpu")
 
 _NATIVE_DIR = pathlib.Path(__file__).parent / "native"
 _LIB_PATH = _NATIVE_DIR / "libbliss_decode.so"
@@ -178,6 +181,7 @@ class Decoder:
         workers = min(cores, int(analysis_options.number_cores))
 
         def work(path):
+            logger.info("Analyzing file '%s'", path)
             results = []
             try:
                 if path.suffix.lower() == ".cue":

@@ -15,6 +15,7 @@ version, and every song commits in its own transaction.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import pathlib
 import sqlite3
@@ -34,6 +35,8 @@ from .playlist import (
     euclidean_distance,
 )
 from .song import Analysis, AnalysisOptions, CueInfo, Song
+
+logger = logging.getLogger("bliss_tpu")
 
 SQLITE_SCHEMA = """
     create table song (
@@ -487,7 +490,12 @@ class Library:
             pathlib.Path(p): extra for p, extra in paths_extra_info
         }
         if not paths_extra_info:
+            logger.info("No (new) songs found.")
             return
+        logger.info(
+            "Analyzing %d song(s), this might take some time…",
+            len(paths_extra_info),
+        )
         progress = None
         if show_progress_bar:
             try:
@@ -521,6 +529,10 @@ class Library:
                 self.store_song(LibrarySong(song, extra))
                 success += 1
             else:
+                logger.error(
+                    "Analysis of song '%s' failed: %s The error has been "
+                    "stored.", path, result,
+                )
                 self.store_failed_song(
                     path, result, analysis_options.features_version
                 )
@@ -529,6 +541,10 @@ class Library:
                 progress.update(1)
         if progress is not None:
             progress.close()
+        logger.info(
+            "Analyzed %d song(s) successfully. %d Failure(s).",
+            success, failure,
+        )
         self.config.analysis_options = analysis_options
         self.config.write()
 

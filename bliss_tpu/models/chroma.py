@@ -193,6 +193,33 @@ def estimate_tuning(
     return jnp.where(any_peak, tuning, jnp.asarray(0.0, dtype))
 
 
+def _compensated_matmul(a: jnp.ndarray, b: jnp.ndarray, chunk: int = 512):
+    """a @ b with the K axis split into chunks whose partial products are
+    combined with Neumaier compensation.
+
+    In f32 on the MXU, a K~4097 accumulation carries ~sqrt(K)*eps
+    relative error, which the exp(15x) sharpening downstream amplifies
+    ~15x into the chroma features; chunking + compensated combination
+    cuts the accumulation error to roughly the in-chunk level. No-op
+    cost: same total FLOPs, 8 small matmuls instead of 1.
+    """
+    k = a.shape[1]
+    if a.dtype == jnp.float64 or k <= chunk:
+        return a @ b
+    bounds = list(range(0, k, chunk))
+    s = a[:, : min(chunk, k)] @ b[: min(chunk, k)]
+    comp = jnp.zeros_like(s)
+    for lo in bounds[1:]:
+        hi = min(lo + chunk, k)
+        p = a[:, lo:hi] @ b[lo:hi]
+        t = s + p
+        comp = comp + jnp.where(
+            jnp.abs(s) >= jnp.abs(p), (s - t) + p, (p - t) + s
+        )
+        s = t
+    return s + comp
+
+
 def chroma_stft_from_spectrum(
     spectrum: jnp.ndarray, tuning, n_fft: int
 ) -> jnp.ndarray:
@@ -201,7 +228,7 @@ def chroma_stft_from_spectrum(
     dtype = spectrum.dtype
     power = spectrum * spectrum
     filt = chroma_filter(n_fft, tuning, dtype)
-    raw = filt @ power
+    raw = _compensated_matmul(filt, power)
     colsum = jnp.sum(jnp.abs(raw), axis=0)
     colsum = jnp.where(colsum < jnp.finfo(dtype).tiny, 1.0, colsum)
     return raw / colsum

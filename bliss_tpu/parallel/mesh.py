@@ -98,7 +98,7 @@ def sharded_top_k(
     moving the full distance vector).
     Returns `(indices, distances)`, both `[k]`.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     axis = mesh.axis_names[0]
     n = library.shape[0]
