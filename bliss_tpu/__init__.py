@@ -25,9 +25,26 @@ from .features import (
     FeaturesVersion,
     VERSION2_WEIGHTS,
 )
-from .song import Analysis, AnalysisOptions, Song
+from .song import Analysis, AnalysisOptions, CueInfo, Song
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy heavyweight imports (keep `import bliss_tpu` light)
+    if name == "Library":
+        from .library import Library
+
+        return Library
+    if name == "BaseConfig":
+        from .library import BaseConfig
+
+        return BaseConfig
+    if name == "LibrarySong":
+        from .library import LibrarySong
+
+        return LibrarySong
+    raise AttributeError(name)
 
 __all__ = [
     "AnalysisError",
