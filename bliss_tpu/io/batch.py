@@ -133,9 +133,9 @@ def analyze_paths_batched(
                 buckets.setdefault(key, []).append(d)
                 if len(buckets[key]) == b:
                     dispatch(key, buckets.pop(key))
-                    # keep one batch in flight: fetch older results while
-                    # the device crunches the freshly dispatched batch
-                    yield from drain(keep=1)
+                    # keep two batches in flight: host buffer building +
+                    # upload of the next batch overlaps device compute
+                    yield from drain(keep=2)
         for key, entries in list(buckets.items()):
             dispatch(key, entries)
         yield from drain()
