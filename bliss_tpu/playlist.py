@@ -364,6 +364,11 @@ def song_to_song(initial_songs, candidate_songs, metric_builder):
 
     is_pure_fn = not isinstance(metric_builder, DistanceMetricBuilder)
     if is_pure_fn and len(pool) > 1:
+        order = _device_greedy_chain(mat, idx, metric_builder, alive)
+        if order is not None:
+            out.extend(pool[i] for i in order)
+            return out
+        # host fallback for exotic function metrics
         pair = _pairwise_matrix(mat, metric_builder)
         cur = idx
         for _ in range(len(pool) - 1):
@@ -379,6 +384,63 @@ def song_to_song(initial_songs, candidate_songs, metric_builder):
             alive[nxt] = False
             out.append(pool[nxt])
     return out
+
+
+def _device_greedy_chain(mat, start_idx, metric, alive0):
+    """The greedy nearest-neighbor walk as a device `lax.scan`.
+
+    Per step: one `[N, F]` distance evaluation against the current song +
+    masked argmin — O(N) memory instead of the O(N^2) pairwise matrix,
+    and only the index sequence leaves the device. Returns None for
+    metrics without a device formulation.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    m = getattr(metric, "weight_matrix", None)
+    if metric is euclidean_distance:
+        m = np.eye(mat.shape[-1], dtype=np.float32)
+    cosine = metric is cosine_distance
+    if m is None and not cosine:
+        return None
+
+    x = jnp.asarray(mat)
+    alive = jnp.asarray(alive0)
+    n = mat.shape[0]
+    steps = int(alive0.sum())
+
+    if cosine:
+        norms = jnp.sqrt(jnp.sum(x * x, axis=1))
+
+        def dist_row(cur):
+            v = x[cur]
+            sim = (x @ v) / (norms * jnp.sqrt(jnp.dot(v, v)))
+            return 1.0 - sim
+
+    else:
+        mm = jnp.asarray(m)
+        xm = x @ mm
+        q = jnp.sum(xm * x, axis=1)  # x_i^T M x_i, precomputed
+
+        def dist_row(cur):
+            v = x[cur]
+            quad = q + (v @ mm) @ v - 2.0 * (xm @ v)
+            return jnp.sqrt(jnp.maximum(quad, 0.0))
+
+    def step(carry, _):
+        alive, cur = carry
+        d = jnp.where(alive, dist_row(cur), jnp.inf)
+        nxt = jnp.argmin(d).astype(cur.dtype)
+        return (alive.at[nxt].set(False), nxt), nxt
+
+    @jax.jit
+    def walk(alive, start):
+        (_, _), order = jax.lax.scan(
+            step, (alive, start), None, length=steps
+        )
+        return order
+
+    return np.asarray(walk(alive, jnp.int32(start_idx))).tolist()
 
 
 def _pairwise_matrix(mat: np.ndarray, metric) -> np.ndarray:
