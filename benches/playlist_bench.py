@@ -33,17 +33,17 @@ def main():
         FunctionDistanceMetric,
         euclidean_distance,
         _batched_mahalanobis,
-        _pairwise_matrix,
+        _device_greedy_chain,
     )
 
     rng = np.random.default_rng(0)
     library = rng.normal(size=(args.n, 23)).astype(np.float32)
     eye = np.eye(23, dtype=np.float32)
 
-    def p50(fn):
+    def p50(fn, queries=None):
         times = []
         fn()  # warm
-        for _ in range(args.queries):
+        for _ in range(queries or args.queries):
             t0 = time.perf_counter()
             fn()
             times.append(time.perf_counter() - t0)
@@ -60,22 +60,18 @@ def main():
     t_order = p50(order)
     print(f"closest_to_songs ordering:            p50 {t_order*1e3:.1f} ms")
 
-    # song_to_song on a 5k subset (the reference calls this its worst
-    # hot loop, O(n^2) — src/playlist.rs:229)
-    sub = library[:5000]
+    # song_to_song: the reference calls this its worst hot loop, O(n^2)
+    # (src/playlist.rs:229); here it's a device scan walk
+    alive = np.ones(args.n, bool)
+    alive[0] = False
 
     def chain():
-        pair = _pairwise_matrix(sub, euclidean_distance)
-        alive = np.ones(len(sub), bool)
-        cur = 0
-        alive[0] = False
-        for _ in range(50):
-            row = np.where(alive, pair[cur], np.inf)
-            cur = int(np.argmin(row))
-            alive[cur] = False
+        _device_greedy_chain(library, 0, euclidean_distance, alive)
 
-    t_chain = p50(chain)
-    print(f"song_to_song 50-chain (N=5000):       p50 {t_chain*1e3:.1f} ms")
+    t_chain = p50(chain, queries=3)
+    print(
+        f"song_to_song full chain (N={args.n}): p50 {t_chain*1e3:.1f} ms"
+    )
 
     import json
 
