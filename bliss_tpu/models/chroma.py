@@ -120,6 +120,41 @@ def chroma_filter(n_fft: int, tuning, dtype, sample_rate: int = SAMPLE_RATE):
     return wts[:, : 1 + n_fft // 2]
 
 
+@functools.lru_cache(maxsize=4)
+def _chroma_filter_table(n_fft: int, sample_rate: int = SAMPLE_RATE):
+    """[100, 12, n_fft//2+1] filterbank for every possible tuning value.
+
+    The tuning estimate is quantized to 100 histogram bins
+    (src/chroma.rs:334-359), so the tuning-dependent filter takes only
+    100 values — precomputing them on host in f64 sidesteps the TPU's
+    less-accurate log2/exp, whose error the exp(15x) sharpening
+    amplified into ~4e-4 feature drift.
+    """
+    n_chroma = N_CHROMA
+    n_chroma2 = round(n_chroma / 2.0)
+    out = np.zeros((100, n_chroma, 1 + n_fft // 2), np.float64)
+    for i in range(100):
+        tuning = (-50.0 + i) / 100.0
+        freqs = np.linspace(0.0, float(sample_rate), n_fft + 1)
+        a440 = 440.0 * 2.0 ** (tuning / n_chroma)
+        with np.errstate(divide="ignore"):
+            fb = n_chroma * np.log2(freqs / (a440 / 16.0))
+        fb[0] = fb[1] - 1.5 * n_chroma
+        binwidth = np.concatenate([np.maximum(np.diff(fb), 1.0), [1.0]])
+        d = fb[None, :] - np.arange(n_chroma)[:, None]
+        d = np.mod(d + n_chroma2 + 10 * n_chroma, n_chroma) - n_chroma2
+        d = d / binwidth
+        wts = np.exp(-0.5 * (2.0 * d) ** 2)
+        norm = np.sqrt(np.sum(wts * wts, axis=0))
+        norm[norm < np.finfo(np.float64).tiny] = 1.0
+        wts = wts / norm
+        octweight = np.exp(-0.5 * ((fb / n_chroma - 5.0) / 2.0) ** 2)
+        wts = wts * octweight
+        wts = np.roll(wts, -3, axis=0)
+        out[i] = wts[:, : 1 + n_fft // 2]
+    return out
+
+
 def _pitch_band(n_fft: int, sample_rate: int = SAMPLE_RATE):
     """Static [fmin, fmax) bin range for pip_track (src/chroma.rs:275-287)."""
     fft_freqs = np.linspace(0.0, sample_rate / 2.0, 1 + n_fft // 2)
@@ -227,7 +262,17 @@ def chroma_stft_from_spectrum(
     (src/chroma.rs:393-412)."""
     dtype = spectrum.dtype
     power = spectrum * spectrum
-    filt = chroma_filter(n_fft, tuning, dtype)
+    if dtype == jnp.float32:
+        # f32 (TPU) path: exact host-f64 filter, selected by tuning bin
+        table = jnp.asarray(_chroma_filter_table(n_fft), jnp.float32)
+        tuning_idx = jnp.clip(
+            jnp.round(jnp.asarray(tuning) * 100.0 + 50.0).astype(jnp.int32),
+            0,
+            99,
+        )
+        filt = table[tuning_idx]
+    else:
+        filt = chroma_filter(n_fft, tuning, dtype)
     raw = _compensated_matmul(filt, power)
     colsum = jnp.sum(jnp.abs(raw), axis=0)
     colsum = jnp.where(colsum < jnp.finfo(dtype).tiny, 1.0, colsum)

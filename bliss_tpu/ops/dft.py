@@ -33,25 +33,46 @@ def _twiddles(window: int, n_bins: int, dtype):
     return jnp.cos(theta), -jnp.sin(theta)
 
 
+#: Chunk length for compensated accumulation: the f32 accumulator error
+#: over a W-long dot grows ~sqrt(W)*eps; chunking at 1024 + Neumaier
+#: combination keeps it at the in-chunk level (~1e-6 relative).
+_ACC_CHUNK = 1024
+
+
+def _dot_last(frames, m):
+    return jax.lax.dot_general(
+        frames, m,
+        dimension_numbers=(((frames.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=frames.dtype,
+    )
+
+
+def _dot_compensated(frames, m):
+    """dot along the last axis with chunked Neumaier-compensated adds."""
+    w = frames.shape[-1]
+    if w <= _ACC_CHUNK:
+        return _dot_last(frames, m)
+    s = _dot_last(frames[..., :_ACC_CHUNK], m[:_ACC_CHUNK])
+    comp = jnp.zeros_like(s)
+    for lo in range(_ACC_CHUNK, w, _ACC_CHUNK):
+        hi = min(lo + _ACC_CHUNK, w)
+        p = _dot_last(frames[..., lo:hi], m[lo:hi])
+        t = s + p
+        comp = comp + jnp.where(
+            jnp.abs(s) >= jnp.abs(p), (s - t) + p, (p - t) + s
+        )
+        s = t
+    return s + comp
+
+
 def rdft(frames: jnp.ndarray, n_bins: int | None = None):
     """(re, im) of the real DFT of `frames [..., W]` via two MXU matmuls."""
     w = frames.shape[-1]
     if n_bins is None:
         n_bins = w // 2 + 1
     cos_m, sin_m = _twiddles(w, n_bins, frames.dtype)
-    re = jax.lax.dot_general(
-        frames, cos_m,
-        dimension_numbers=(((frames.ndim - 1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=frames.dtype,
-    )
-    im = jax.lax.dot_general(
-        frames, sin_m,
-        dimension_numbers=(((frames.ndim - 1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=frames.dtype,
-    )
-    return re, im
+    return _dot_compensated(frames, cos_m), _dot_compensated(frames, sin_m)
 
 
 def rdft_mags(frames: jnp.ndarray, n_bins: int | None = None) -> jnp.ndarray:
