@@ -22,7 +22,7 @@ AUDIO_EXTENSIONS = {
 
 def _folder_paths(folder):
     return sorted(
-        str(p)
+        str(p.resolve())
         for p in pathlib.Path(folder).rglob("*")
         if p.suffix.lower() in AUDIO_EXTENSIONS
     )

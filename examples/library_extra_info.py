@@ -36,7 +36,7 @@ def main():
         config = BaseConfig(config_path=pathlib.Path(args.config))
         library = Library(config)
         paths = sorted(
-            str(p)
+            str(p.resolve())
             for p in pathlib.Path(args.folder).rglob("*")
             if p.suffix.lower() in AUDIO_EXTENSIONS
         )
