@@ -23,10 +23,14 @@ from ..errors import AnalysisError, BlissError, DecodingError
 from ..models.analyzer import MIN_SAMPLES, bucket_length
 from ..song import AnalysisOptions, Song
 
-#: Batch size per device program. Fixed so each bucket compiles once.
+#: Batch size per device program. Fixed per bucket so each (bucket, B)
+#: pair compiles once. Wider batches amortize the ~0.3 s per-dispatch
+#: latency but waste padded slots on partially-filled buckets (a 13-song
+#: bucket padded to 16 wastes 19% of the heaviest compute); B=8 measured
+#: best on mixed workloads. Above ~12 min of audio drop to B=2 to bound
+#: the framing working set.
 DEFAULT_BATCH = 8
-#: Above this many samples (~12 min), fall back to smaller batches to
-#: bound the framing-gather working set.
+MID_SONG = 1 << 20
 LONG_SONG = 1 << 24
 
 
@@ -128,7 +132,7 @@ def analyze_paths_batched(
                     yield d.path, AnalysisError("empty or too short song.")
                     continue
                 padded = bucket_length(n)
-                b = batch_size if padded < LONG_SONG else max(1, batch_size // 4)
+                b = batch_size if padded <= LONG_SONG else max(1, batch_size // 4)
                 key = (padded, b)
                 buckets.setdefault(key, []).append(d)
                 if len(buckets[key]) == b:
