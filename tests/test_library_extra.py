@@ -1,0 +1,175 @@
+"""Additional Library behaviors mirrored from the reference's test corpus
+(src/library.rs:1850-4529)."""
+
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+from bliss_tpu import Analysis, AnalysisOptions, FeaturesVersion, Song
+from bliss_tpu.errors import ProviderError
+from bliss_tpu.io.decoder import Decoder, PreAnalyzedSong
+from bliss_tpu.library import BaseConfig, Library, LibrarySong
+from bliss_tpu.playlist import ForestOptions, closest_to_songs, song_to_song
+
+
+class DummyDecoder(Decoder):
+    @classmethod
+    def decode(cls, path):
+        return PreAnalyzedSong(path=pathlib.Path(path))
+
+
+def _song(path, n, **kw):
+    vec = np.full(23, n, dtype=np.float32)
+    return Song(
+        path=pathlib.Path(path),
+        analysis=Analysis(vec, FeaturesVersion.VERSION2),
+        duration=10.0,
+        **kw,
+    )
+
+
+@pytest.fixture
+def library(tmp_path):
+    config = BaseConfig(
+        config_path=tmp_path / "config.json",
+        database_path=tmp_path / "songs.db",
+    )
+    return Library(config, DummyDecoder)
+
+
+def test_playlist_from_multiple_seeds(library):
+    for i in range(8):
+        library.store_song(LibrarySong(_song(f"/tmp/{i}.flac", i), None))
+    playlist = library.playlist_from(["/tmp/0.flac", "/tmp/7.flac"])
+    paths = [str(s.bliss_song.path) for s in playlist]
+    assert paths[0] == "/tmp/0.flac"
+    assert paths[1] == "/tmp/7.flac"
+    assert set(paths) == {f"/tmp/{i}.flac" for i in range(8)}
+
+
+def test_playlist_from_custom_no_dedup_keeps_duplicates(library):
+    library.store_song(LibrarySong(_song("/tmp/a.flac", 0.0), None))
+    library.store_song(LibrarySong(_song("/tmp/b.flac", 0.0), None))
+    library.store_song(LibrarySong(_song("/tmp/c.flac", 1.0), None))
+    from bliss_tpu.playlist import euclidean_distance
+
+    with_dedup = library.playlist_from_custom(
+        ["/tmp/a.flac"], euclidean_distance, closest_to_songs, True
+    )
+    without = library.playlist_from_custom(
+        ["/tmp/a.flac"], euclidean_distance, closest_to_songs, False
+    )
+    assert len(without) == 3
+    assert len(with_dedup) == 2  # identical-analysis b dropped
+
+
+def test_playlist_from_custom_forest(library):
+    rng = np.random.default_rng(0)
+    for i in range(30):
+        library.store_song(
+            LibrarySong(
+                Song(
+                    path=pathlib.Path(f"/tmp/{i}.flac"),
+                    analysis=Analysis(
+                        rng.normal(0, 0.05, 23).astype(np.float32),
+                        FeaturesVersion.VERSION2,
+                    ),
+                ),
+                None,
+            )
+        )
+    library.store_song(
+        LibrarySong(
+            Song(
+                path=pathlib.Path("/tmp/outlier.flac"),
+                analysis=Analysis(
+                    np.full(23, 3.0, np.float32), FeaturesVersion.VERSION2
+                ),
+            ),
+            None,
+        )
+    )
+    forest = ForestOptions(n_trees=100, sample_size=20, seed=7)
+    playlist = library.playlist_from_custom(
+        ["/tmp/0.flac", "/tmp/1.flac", "/tmp/2.flac"],
+        forest,
+        closest_to_songs,
+        False,
+    )
+    assert str(playlist[-1].bliss_song.path) == "/tmp/outlier.flac"
+
+
+def test_store_song_utf8ish_path(library):
+    song = _song("/tmp/éàçü — 日本語.flac", 0.5)
+    library.store_song(LibrarySong(song, None))
+    got = library.song_from_path("/tmp/éàçü — 日本語.flac")
+    assert got.bliss_song.path == song.path
+
+
+def test_update_library_reanalyzes_old_version(library):
+    """Songs analyzed with an older features version are wiped and
+    reanalyzed when new paths arrive (src/library.rs:1073-1085)."""
+    old = _song("/tmp/old.flac", 0.1)
+    old.features_version = FeaturesVersion.VERSION1
+    old.analysis = Analysis(np.zeros(20, np.float32), FeaturesVersion.VERSION1)
+    library.store_song(LibrarySong(old, None))
+
+    attempted = []
+
+    class Tracking(DummyDecoder):
+        @classmethod
+        def decode(cls, path):
+            attempted.append(str(path))
+            return super().decode(path)
+
+    library.decoder_cls = Tracking
+    library.update_library(["/tmp/old.flac", "/tmp/new.flac"])
+    # both paths reanalyzed: the v1 row was deleted
+    assert set(attempted) == {"/tmp/old.flac", "/tmp/new.flac"}
+    rows = library.sqlite_conn.execute(
+        "select count(*) from song where version = 1"
+    ).fetchone()[0]
+    assert rows == 0
+
+
+def test_config_setters_persist(tmp_path):
+    config = BaseConfig(config_path=tmp_path / "c.json")
+    Library(config, DummyDecoder)
+    config.set_number_cores(3)
+    config.set_features_version(FeaturesVersion.VERSION1)
+    loaded = BaseConfig.from_path(tmp_path / "c.json")
+    assert loaded.get_number_cores() == 3
+    assert loaded.get_features_version() == FeaturesVersion.VERSION1
+
+
+def test_library_song_as_ref_surface(library):
+    """LibrarySong proxies the Song fields used by the playlist engine
+    (the AsRef<Song> surface of the reference)."""
+    s = _song("/tmp/a.flac", 0.2, title="T", artist="A", album="Al")
+    ls = LibrarySong(s, {"x": 1})
+    assert ls.title == "T" and ls.artist == "A" and ls.album == "Al"
+    assert np.array_equal(ls.analysis.as_arr1(), s.analysis.as_arr1())
+
+
+def test_training_triplet_table_usable(library):
+    library.store_song(LibrarySong(_song("/tmp/a.flac", 0.1), None))
+    library.store_song(LibrarySong(_song("/tmp/b.flac", 0.2), None))
+    library.store_song(LibrarySong(_song("/tmp/c.flac", 0.9), None))
+    ids = [
+        r[0]
+        for r in library.sqlite_conn.execute(
+            "select id from song order by id"
+        )
+    ]
+    library.sqlite_conn.execute(
+        "insert into training_triplet (song_1_id, song_2_id, odd_one_out_id)"
+        " values (?, ?, ?)",
+        (ids[0], ids[1], ids[2]),
+    )
+    library.sqlite_conn.commit()
+    n = library.sqlite_conn.execute(
+        "select count(*) from training_triplet"
+    ).fetchone()[0]
+    assert n == 1
