@@ -8,6 +8,7 @@ masks, so every summary here takes an explicit mask.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -29,6 +30,69 @@ def masked_std(values: jnp.ndarray, mask: jnp.ndarray, axis=-1) -> jnp.ndarray:
     return jnp.sqrt(jnp.sum(d * d, axis=axis) / n)
 
 
+#: Above this many elements, quantiles use bitwise-bisection selection
+#: instead of a full sort (a 38M-element f32 sort costs ~0.45 s on TPU;
+#: 32 masked counts cost ~10 ms).
+_BISECT_THRESHOLD = 1 << 20
+
+
+def _float_sort_key(x: jnp.ndarray) -> jnp.ndarray:
+    """Order-isomorphic unsigned integer key of a float array (IEEE)."""
+    if x.dtype == jnp.float64:
+        i = jax.lax.bitcast_convert_type(x, jnp.int64)
+        bias = jnp.uint64(1) << jnp.uint64(63)
+        u = i.astype(jnp.uint64)
+        return jnp.where(i < 0, ~u, u | bias)
+    i = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    bias = jnp.uint32(0x80000000)
+    u = i.astype(jnp.uint32)
+    return jnp.where(i < 0, ~u, u | bias)
+
+
+def _key_to_float(key, dtype):
+    """Inverse of `_float_sort_key`."""
+    if dtype == jnp.float64:
+        bias = jnp.uint64(1) << jnp.uint64(63)
+        i = jnp.where(
+            key & bias != 0, (key ^ bias).astype(jnp.int64),
+            (~key).astype(jnp.int64),
+        )
+        return jax.lax.bitcast_convert_type(i, jnp.float64)
+    bias = jnp.uint32(0x80000000)
+    i = jnp.where(
+        key & bias != 0, (key ^ bias).astype(jnp.int32),
+        (~key).astype(jnp.int32),
+    )
+    return jax.lax.bitcast_convert_type(i, jnp.float32)
+
+
+def _kth_smallest_bisect(values: jnp.ndarray, mask: jnp.ndarray, k):
+    """Exact k-th smallest masked value via bisection on the float's
+    order-isomorphic integer key (32/64 rounds of a masked count)."""
+    dtype = values.dtype
+    keys = _float_sort_key(values)
+    utype = keys.dtype
+    allones = ~jnp.asarray(0, utype)
+    keys = jnp.where(mask, keys, allones)
+    bits = 64 if dtype == jnp.float64 else 32
+
+    def body(_, bounds):
+        lo, hi = bounds
+        mid = lo + (hi - lo) // jnp.asarray(2, utype)
+        cnt = jnp.sum((keys <= mid) & mask, dtype=jnp.int32)
+        take_low = cnt >= k + 1
+        one = jnp.asarray(1, utype)
+        return (
+            jnp.where(take_low, lo, mid + one),
+            jnp.where(take_low, mid, hi),
+        )
+
+    lo = jnp.asarray(0, utype)
+    hi = allones - jnp.asarray(1, utype)
+    key, _ = jax.lax.fori_loop(0, bits, body, (lo, hi))
+    return _key_to_float(key, dtype)
+
+
 def masked_quantile_midpoint(
     values: jnp.ndarray, mask: jnp.ndarray, q: float = 0.5
 ) -> jnp.ndarray:
@@ -37,14 +101,23 @@ def masked_quantile_midpoint(
     Matches ndarray-stats' `Midpoint`: `(x[floor((n-1)q)] + x[ceil((n-1)q)])/2`
     on the sorted valid values (used for the BPM median at
     src/temporal.rs:71-76 and the tuning threshold at src/chroma.rs:381-384).
+    Large inputs use exact bisection selection instead of a full sort.
     Returns NaN-free garbage when no entry is valid — gate on `mask.any()`
     at the caller.
     """
+    n = jnp.sum(mask.astype(jnp.int32), axis=-1)
+    pos = (n - 1).astype(jnp.float32) * q
+    if values.ndim == 1 and values.shape[-1] >= _BISECT_THRESHOLD:
+        lo_k = jnp.maximum(jnp.floor(pos).astype(jnp.int32), 0)
+        hi_k = jnp.maximum(jnp.ceil(pos).astype(jnp.int32), 0)
+        vlo = _kth_smallest_bisect(values, mask, lo_k)
+        vhi = jnp.where(
+            hi_k == lo_k, vlo, _kth_smallest_bisect(values, mask, hi_k)
+        )
+        return (vlo + vhi) * jnp.asarray(0.5, values.dtype)
     big = jnp.asarray(jnp.inf, values.dtype)
     filled = jnp.where(mask, values, big)
     s = jnp.sort(filled, axis=-1)
-    n = jnp.sum(mask.astype(jnp.int32), axis=-1)
-    pos = (n - 1).astype(jnp.float32) * q
     lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, values.shape[-1] - 1)
     hi = jnp.clip(jnp.ceil(pos).astype(jnp.int32), 0, values.shape[-1] - 1)
     vlo = jnp.take_along_axis(s, lo[..., None], axis=-1)[..., 0]
