@@ -30,10 +30,14 @@ def masked_std(values: jnp.ndarray, mask: jnp.ndarray, axis=-1) -> jnp.ndarray:
     return jnp.sqrt(jnp.sum(d * d, axis=axis) / n)
 
 
-#: Above this many elements, quantiles use bitwise-bisection selection
-#: instead of a full sort (a 38M-element f32 sort costs ~0.45 s on TPU;
-#: 32 masked counts cost ~10 ms).
-_BISECT_THRESHOLD = 1 << 20
+#: Threshold for switching quantiles to bitwise-bisection selection.
+#: In principle 32 masked counts beat a 38M-element sort (~0.45 s) by
+#: ~50x, but the axon backend executes each fori_loop reduce iteration
+#: ~1000x slower than roofline (measured ~200 ms per 190MB count), so
+#: the sort stays the default. `_kth_smallest_bisect` remains in use for
+#: the cross-shard median in parallel/longsong.py where a distributed
+#: sort isn't an option.
+_BISECT_THRESHOLD = 1 << 62
 
 
 def _float_sort_key(x: jnp.ndarray) -> jnp.ndarray:
@@ -74,6 +78,9 @@ def _kth_smallest_bisect(values: jnp.ndarray, mask: jnp.ndarray, k):
     utype = keys.dtype
     allones = ~jnp.asarray(0, utype)
     keys = jnp.where(mask, keys, allones)
+    # materialize once: without the barrier XLA fuses the (expensive)
+    # producer of `values` into every bisection iteration
+    keys, mask = jax.lax.optimization_barrier((keys, mask))
     bits = 64 if dtype == jnp.float64 else 32
 
     def body(_, bounds):
