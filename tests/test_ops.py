@@ -105,3 +105,21 @@ def test_masked_median_midpoint():
     assert float(masked_quantile_midpoint(vals, mask)) == 3.0
     mask = jnp.array([True, True, True, True])
     assert float(masked_quantile_midpoint(vals, mask)) == 4.0
+
+
+def test_kth_smallest_bisect_exact():
+    """The bisection selection primitive (used for the cross-shard median
+    in parallel/longsong.py) is bit-exact vs sorting."""
+    from bliss_tpu.ops.reductions import _kth_smallest_bisect
+
+    rng = np.random.default_rng(3)
+    for dtype in (np.float32, np.float64):
+        x = rng.normal(size=5001).astype(dtype)
+        x[::5] = -x[::5]
+        mask = rng.uniform(size=x.shape) > 0.4
+        ref = np.sort(x[mask])
+        for k in (0, 1, len(ref) // 2, len(ref) - 1):
+            got = _kth_smallest_bisect(
+                jnp.asarray(x), jnp.asarray(mask), k
+            )
+            assert float(got) == ref[k], (dtype, k)
