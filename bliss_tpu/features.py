@@ -27,8 +27,10 @@ class FeaturesVersion(enum.IntEnum):
 
     VERSION1 = 1
     VERSION2 = 2
+    #: Always points to the latest features' version (alias, like the
+    #: reference's `FeaturesVersion::LATEST`, src/lib.rs:163-165).
+    LATEST = 2
 
-    #: Always points to the latest features' version.
     @classmethod
     def latest(cls) -> "FeaturesVersion":
         return cls.VERSION2

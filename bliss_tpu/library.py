@@ -348,6 +348,23 @@ class Library:
         return cls(config, decoder_cls, create=True)
 
     @classmethod
+    def new_from_base(
+        cls,
+        config_path=None,
+        database_path=None,
+        analysis_options=None,
+        decoder_cls=None,
+    ) -> "Library":
+        """Create a Library from a minimal configuration
+        (src/library.rs:741-752)."""
+        config = BaseConfig(
+            config_path=config_path,
+            database_path=database_path,
+            analysis_options=analysis_options or AnalysisOptions(),
+        )
+        return cls(config, decoder_cls, create=True)
+
+    @classmethod
     def from_config_path(cls, config_path=None, decoder_cls=None) -> "Library":
         if config_path is None:
             config_path = BaseConfig().config_path
