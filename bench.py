@@ -64,7 +64,7 @@ def main():
     # two timed passes, report the faster: the tunneled-TPU environment has
     # large run-to-run variance unrelated to the framework
     elapsed = None
-    for _ in range(2):
+    for _ in range(3):
         start = time.perf_counter()
         results = list(
             analyze_paths_batched(FFmpegDecoder, paths, AnalysisOptions())
@@ -75,7 +75,7 @@ def main():
         import sys
 
         print(
-            f"# decode-only: {decode_s:.2f}s; decode+analyze (best of 2): "
+            f"# decode-only: {decode_s:.2f}s; decode+analyze (best of 3): "
             f"{elapsed:.2f}s",
             file=sys.stderr,
         )
