@@ -52,3 +52,24 @@ def test_batched_cue(data_dir):
     np.testing.assert_allclose(
         first.analysis.as_vec(), expected_first, atol=5e-5
     )
+
+
+def test_batched_version1(data_dir):
+    from bliss_tpu import FeaturesVersion
+    from bliss_tpu.song import AnalysisOptions
+
+    opts = AnalysisOptions(features_version=FeaturesVersion.VERSION1)
+    results = dict(
+        analyze_paths_batched(
+            FFmpegDecoder, [data_dir / "s16_mono_22_5kHz.flac"], opts
+        )
+    )
+    (song,) = results.values()
+    assert song.features_version == FeaturesVersion.VERSION1
+    assert len(song.analysis.as_vec()) == 20
+    single = FFmpegDecoder.song_from_path(
+        data_dir / "s16_mono_22_5kHz.flac", opts
+    )
+    np.testing.assert_allclose(
+        song.analysis.as_arr1(), single.analysis.as_arr1(), atol=5e-5
+    )
