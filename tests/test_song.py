@@ -98,3 +98,19 @@ def test_number_features():
     assert FeaturesVersion.VERSION1.feature_count == 20
     assert FeaturesVersion.VERSION1.feature_weights().shape == (20, 20)
     assert FeaturesVersion.VERSION2.feature_weights().shape == (23, 23)
+
+
+def test_analysis_padding_invariant(decoded_s16_mono):
+    """The same samples analyzed inside different padded buckets must give
+    identical features — the masking must fully isolate the padding."""
+    import jax.numpy as jnp
+
+    from bliss_tpu.models.analyzer import analyze_samples
+
+    n = decoded_s16_mono.shape[0]
+    outs = []
+    for padded in (262144, 393216):
+        buf = np.zeros(padded, np.float32)
+        buf[:n] = decoded_s16_mono
+        outs.append(np.asarray(analyze_samples(jnp.asarray(buf), n)))
+    np.testing.assert_allclose(outs[0], outs[1], atol=2e-6)
