@@ -12,8 +12,6 @@ device analysis of batch k.
 from __future__ import annotations
 
 import pathlib
-import queue
-import threading
 from dataclasses import dataclass
 from typing import Iterator, List, Optional, Tuple
 
@@ -76,9 +74,6 @@ def analyze_paths_batched(
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    from ..features import FeaturesVersion
-    from .decoder import PreAnalyzedSong
-
     options = analysis_options or AnalysisOptions()
     version = int(options.features_version)
     paths = [pathlib.Path(p) for p in paths]
@@ -95,7 +90,6 @@ def analyze_paths_batched(
             if path.suffix.lower() == ".cue":
                 # decode the big file(s) once; tracks become separate
                 # pre-analyzed entries sharing the decode
-                from ..cue import parse_cue, CueSheet  # noqa: F401
                 out.extend(_decode_cue(decoder_cls, path, order))
             else:
                 raw = decoder_cls.decode(path)

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import pathlib
 import wave
-from typing import Optional
 
 import numpy as np
 

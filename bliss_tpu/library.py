@@ -25,7 +25,6 @@ from typing import Callable, Iterable, List, Optional, Sequence
 
 import numpy as np
 
-from .cue import BlissCue
 from .errors import BlissError, ProviderError
 from .features import NUMBER_FEATURES, FeaturesVersion
 from .playlist import (

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..errors import AnalysisError
-from ..features import SAMPLE_RATE, FeaturesVersion
+
 from . import chroma as chroma_model
 from . import loudness as loudness_model
 from . import tempo as tempo_model

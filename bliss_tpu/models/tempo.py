@@ -30,7 +30,6 @@ over [0, 206] (src/temporal.rs:66-85).
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple
 
 import jax

@@ -21,7 +21,6 @@ import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def _twiddles(window: int, n_bins: int, dtype):

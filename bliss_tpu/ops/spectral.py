@@ -17,7 +17,6 @@ import jax.numpy as jnp
 
 from .dft import rdft_mags
 from .windows import (
-    frame_signal,
     frame_signal_reflect,
     hann_periodic,
     n_frames_stft,

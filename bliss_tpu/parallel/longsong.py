@@ -26,11 +26,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..features import SAMPLE_RATE
 from ..models import chroma as chroma_model
 from ..ops import n_frames_stft
 from ..ops.spectral import _windowed_mags
-from ..ops.windows import hann_periodic
 
 WINDOW = chroma_model.WINDOW_SIZE  # 8192
 HOP = chroma_model.HOP_SIZE  # 2205

@@ -20,13 +20,11 @@ callable, mirroring the DistanceMetricBuilder/DistanceMetric trait pair
 
 from __future__ import annotations
 
-from typing import Callable, Iterable, List, Optional, Sequence
+from typing import Callable, List, Optional, Sequence
 
 import numpy as np
 
-from .errors import BlissError, ProviderError
-from .features import NUMBER_FEATURES
-
+from .errors import ProviderError
 Vector = np.ndarray
 
 
