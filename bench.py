@@ -61,21 +61,29 @@ def main():
             FFmpegDecoder.decode(p)
         decode_s = time.perf_counter() - t0
 
-    # two timed passes, report the faster: the tunneled-TPU environment has
-    # large run-to-run variance unrelated to the framework
+    # repeated timed passes, report the fastest: the tunneled-TPU link's
+    # bandwidth swings ~30x on a minutes timescale (PERF.md), entirely
+    # outside the framework. Run at least 3 passes and keep sampling
+    # within a wall-clock budget so one bad phase window can't poison
+    # the measurement.
+    budget_s = float(os.environ.get("BLISS_BENCH_BUDGET_S", "240"))
+    max_passes = int(os.environ.get("BLISS_BENCH_PASSES", "8"))
     elapsed = None
-    for _ in range(3):
+    t_begin = time.perf_counter()
+    for i in range(max_passes):
+        if i >= 3 and time.perf_counter() - t_begin > budget_s:
+            break
         start = time.perf_counter()
         results = list(
             analyze_paths_batched(FFmpegDecoder, paths, AnalysisOptions())
         )
         run = time.perf_counter() - start
         elapsed = run if elapsed is None else min(elapsed, run)
+        if os.environ.get("BLISS_BENCH_VERBOSE"):
+            print(f"# pass {i}: {run:.2f}s", file=sys.stderr)
     if decode_s is not None:
-        import sys
-
         print(
-            f"# decode-only: {decode_s:.2f}s; decode+analyze (best of 3): "
+            f"# decode-only: {decode_s:.2f}s; decode+analyze (best pass): "
             f"{elapsed:.2f}s",
             file=sys.stderr,
         )

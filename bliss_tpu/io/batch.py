@@ -2,16 +2,33 @@
 
 The reference's batch story is a thread pool running independent
 single-song analyses (bliss-rs src/song/decoder.rs:278-332). On TPU the
-equivalent shape is: host threads decode (ctypes releases the GIL), songs
-are grouped into *length buckets*, and each bucket runs the fused
-analyzer vmapped over a fixed batch dimension — one device program per
-(bucket, B) instead of one per song. Decode of batch k+1 overlaps the
-device analysis of batch k.
+equivalent shape is: host threads decode (ctypes releases the GIL), each
+song is *uploaded to the device the moment it is decoded*, songs are
+grouped into length buckets, and each bucket runs the fused analyzer
+over a fixed batch dimension — one device program per (bucket, B)
+instead of one per song.
+
+Transfer engineering (the tunnel link is the bottleneck, ~10-70 MB/s):
+
+  * per-song uploads — no padded batch-slot bytes ever cross the wire,
+    and the upload of song k+1 overlaps decode of k+2 and compute of k;
+  * quantized wire format ("i16b", block-floating-point): f32 PCM is
+    shipped as int16 mantissas plus one int8 exponent per 2048-sample
+    block — 2.004 bytes/sample. Reconstruction x = q·2^(e-15) is exact
+    in f32; the only error is the rounding, ≤ blockpeak·2^-15. For
+    straight s16 sources (no resampling) this is *bit-exact*; for
+    resampled audio the measured end-feature drift is ≤2e-6 (23-dim
+    golden pipeline). CPU backend keeps exact f32 (golden parity);
+  * deep pipelining: several device batches stay in flight; only the
+    [B, 23] feature blocks are ever fetched back.
 """
 
 from __future__ import annotations
 
+import functools
+import os
 import pathlib
+from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 from dataclasses import dataclass
 from typing import Iterator, List, Optional, Tuple
 
@@ -22,42 +39,178 @@ from ..models.analyzer import MIN_SAMPLES, bucket_length
 from ..song import AnalysisOptions, Song
 
 #: Batch size per device program. Fixed per bucket so each (bucket, B)
-#: pair compiles once. Wider batches amortize the ~0.3 s per-dispatch
-#: latency but waste padded slots on partially-filled buckets (a 13-song
-#: bucket padded to 16 wastes 19% of the heaviest compute); B=8 measured
-#: best on mixed workloads. Above ~12 min of audio drop to B=2 to bound
-#: the framing working set.
+#: pair compiles once. Wider batches amortize per-dispatch latency but
+#: add nothing once uploads are per-song; B=8 measured best on mixed
+#: workloads. Above ~12 min of audio drop to B=2 to bound the framing
+#: working set.
 DEFAULT_BATCH = 8
-MID_SONG = 1 << 20
 LONG_SONG = 1 << 24
+
+#: Device batches left in flight while new work streams in. Each holds
+#: only its [B, 23] output plus the input handles, so the cost is HBM
+#: for the inputs; 3 keeps the device busy across fetch round-trips.
+IN_FLIGHT_BATCHES = 3
+
+#: Block size for the block-floating-point wire format. Every bucket
+#: length is a multiple of 2048 (bucket_length: pow2/8 × {5,6,7} with a
+#: 16384 floor), so the exponent array tiles exactly.
+WIRE_BLOCK = 2048
+
+#: Long songs are shipped in chunks of this many samples (2 MB of int16)
+#: because the tunnel is FIFO: one monolithic 13 MB put would head-block
+#: every other transfer AND the execute dispatches waiting on already-
+#: resident inputs. Chunks let short songs' batches slot in between.
+WIRE_CHUNK = 1 << 20
+
+
+def _upload_kind() -> str:
+    """Wire format: exact f32 on CPU (golden parity), quantized on TPU."""
+    kind = os.environ.get("BLISS_UPLOAD")
+    if kind in ("f32", "i16b"):
+        return kind
+    import jax
+
+    return "f32" if jax.default_backend() == "cpu" else "i16b"
+
+
+def _quantize_i16b(
+    samples: np.ndarray, padded_len: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Block-floating-point: int16 mantissas + int8 exponent per block.
+
+    Per 2048-sample block with peak p: e = ceil(log2(p)), scale 2^e, and
+    q = round(x·2^(15-e)). Reconstruction q·2^(e-15) is exact in f32, so
+    the only error is the rounding, ≤ 2^(e-16) ≤ blockpeak·2^-15 — and
+    straight-s16 content (x = k/2^15, e ≤ 0) round-trips bit-exactly.
+    """
+    n = samples.shape[0]
+    i16 = np.zeros(padded_len, np.int16)
+    e8 = np.zeros(padded_len // WIRE_BLOCK, np.int8)
+    nb = (n + WIRE_BLOCK - 1) // WIRE_BLOCK
+    xb = np.zeros((nb, WIRE_BLOCK), np.float32)
+    xb.reshape(-1)[:n] = samples
+    peak = np.abs(xb).max(axis=1)
+    # e ∈ [-100, 100] keeps both 2^(15-e) and 2^(e-15) normal in f32
+    # (zero/denormal blocks quantize to all-zero mantissas either way)
+    e = np.ceil(np.log2(np.maximum(peak, 2.0**-100))).astype(np.int32)
+    np.clip(e, -100, 100, out=e)
+    q = np.round(xb * np.exp2(15.0 - e).astype(np.float32)[:, None])
+    np.clip(q, -32768, 32767, out=q)
+    i16[: nb * WIRE_BLOCK] = q.astype(np.int16).reshape(-1)
+    e8[:nb] = e.astype(np.int8)
+    return i16, e8
+
+
+def _chunk_bounds(padded_len: int) -> List[Tuple[int, int]]:
+    return [
+        (lo, min(lo + WIRE_CHUNK, padded_len))
+        for lo in range(0, padded_len, WIRE_CHUNK)
+    ]
+
+
+def _upload_song(samples: np.ndarray, padded_len: int, kind: str):
+    """Start the async host→device transfer of one song (chunked);
+    returns a flat tuple of device handles."""
+    import jax
+
+    if kind == "f32":
+        buf = np.zeros(padded_len, np.float32)
+        buf[: samples.shape[0]] = samples
+        return tuple(
+            jax.device_put(buf[lo:hi]) for lo, hi in _chunk_bounds(padded_len)
+        )
+    i16, e8 = _quantize_i16b(samples, padded_len)
+    handles = [
+        jax.device_put(i16[lo:hi]) for lo, hi in _chunk_bounds(padded_len)
+    ]
+    handles.append(jax.device_put(e8))
+    return tuple(handles)
+
+
+def _handles_per_song(padded_len: int, kind: str) -> int:
+    n_chunks = len(_chunk_bounds(padded_len))
+    return n_chunks if kind == "f32" else n_chunks + 1
+
+
+@functools.lru_cache(maxsize=128)
+def _compiled_stacked(padded_len: int, b: int, version: int, kind: str):
+    """One jitted program per (bucket, B, version, wire-kind): reassemble
+    each song from its wire chunks, dequantize, stack, and run the fused
+    analyzer. Args: (lengths, *song0_handles, *song1_handles, ...)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.analyzer import analyze_samples
+
+    vmapped = jax.vmap(functools.partial(analyze_samples, version=version))
+    per_song = _handles_per_song(padded_len, kind)
+
+    def fn(lengths, *parts):
+        songs = []
+        for i in range(b):
+            h = parts[i * per_song : (i + 1) * per_song]
+            if kind == "f32":
+                songs.append(jnp.concatenate(h))
+            else:
+                i16 = jnp.concatenate(h[:-1])
+                scale = jnp.exp2(h[-1].astype(jnp.float32) - 15.0)
+                songs.append(
+                    (
+                        i16.astype(jnp.float32).reshape(-1, WIRE_BLOCK)
+                        * scale[:, None]
+                    ).reshape(-1)
+                )
+        return vmapped(jnp.stack(songs), lengths)
+
+    return jax.jit(fn)
+
+
+#: Upload threads. The tunnel doesn't multiplex (parallel puts measured
+#: the same aggregate bandwidth), but dedicated threads keep quantize +
+#: transfer off the decode workers so decode/wire/compute fully overlap.
+UPLOAD_THREADS = 2
+
+#: Backpressure: max bytes decoded-but-not-yet-uploaded before the
+#: consumer blocks. Bounds host RAM when decode outruns the wire.
+MAX_PENDING_UPLOAD_BYTES = 512 << 20
 
 
 @dataclass
 class _Decoded:
     order: int
     path: pathlib.Path
-    raw: object = None  # PreAnalyzedSong
+    raw: object = None  # PreAnalyzedSong (sample_array dropped post-upload)
     error: Optional[BlissError] = None
-    cue_sibling: bool = False
+    n: int = 0
+    upload: object = None  # Future resolving to the device handles
+
+    def handles_ready(self) -> tuple:
+        return self.upload.result()
 
 
-def _analyze_bucket_async(
-    entries: List[_Decoded], padded_len: int, batch: int, version: int
+def _dispatch_bucket(
+    entries: List[_Decoded], padded_len: int, batch: int, version: int, kind: str
 ):
-    """Dispatch one padded [B, T] batch; return the un-fetched device array
-    so the next batch's decode/dispatch overlaps this one's compute."""
-    import jax.numpy as jnp
+    """Launch one bucket program over per-song device handles; empty
+    slots reuse the first song's handles (masked out via length)."""
+    import time
 
-    from ..models.analyzer import _compiled_batch
-
-    buf = np.zeros((batch, padded_len), np.float32)
     lengths = np.full((batch,), MIN_SAMPLES, np.int32)
     for i, e in enumerate(entries):
-        n = e.raw.sample_array.shape[0]
-        buf[i, :n] = e.raw.sample_array
-        lengths[i] = n
-    fn = _compiled_batch(padded_len, version)
-    return fn(jnp.asarray(buf), jnp.asarray(lengths))
+        lengths[i] = e.n
+    fn = _compiled_stacked(padded_len, batch, version, kind)
+    handles = [e.handles_ready() for e in entries]
+    handles += [handles[0]] * (batch - len(entries))
+    args = [h for song in handles for h in song]
+    # the tunneled remote-compile/execute path occasionally drops a
+    # connection mid-flight; one song batch must not kill a 10k-song run
+    for attempt in range(3):
+        try:
+            return fn(lengths, *args)
+        except Exception:
+            if attempt == 2:
+                raise
+            time.sleep(1.0 + attempt)
 
 
 def analyze_paths_batched(
@@ -66,14 +219,17 @@ def analyze_paths_batched(
     analysis_options: Optional[AnalysisOptions] = None,
     batch_size: int = DEFAULT_BATCH,
     decode_workers: Optional[int] = None,
+    in_flight_batches: int = IN_FLIGHT_BATCHES,
 ) -> Iterator[Tuple[pathlib.Path, object]]:
     """Decode on host threads + analyze in device batches.
 
-    Yields `(path, Song | BlissError)`; order follows batch completion,
-    not input order. CUE sheets fan out into one entry per track.
+    Yields `(path, Song | BlissError)`; order follows decode/batch
+    completion, not input order. CUE sheets fan out into one entry per
+    track. Host RAM and HBM stay bounded: decode runs behind a bounded
+    submission window, sample arrays are dropped once their device
+    transfer is issued, and at most `in_flight_batches` device programs
+    plus the partially-filled buckets hold live input handles.
     """
-    from concurrent.futures import ThreadPoolExecutor
-
     options = analysis_options or AnalysisOptions()
     version = int(options.features_version)
     paths = [pathlib.Path(p) for p in paths]
@@ -82,6 +238,7 @@ def analyze_paths_batched(
     workers = decode_workers or min(
         int(options.number_cores), max(len(paths), 1)
     )
+    kind = _upload_kind()
 
     def decode_one(item):
         order, path = item
@@ -98,42 +255,91 @@ def analyze_paths_batched(
             out.append(_Decoded(order, path, error=e))
         except Exception as e:  # pragma: no cover
             out.append(_Decoded(order, path, error=DecodingError(str(e))))
+        for d in out:
+            if d.error is None:
+                d.n = int(d.raw.sample_array.shape[0])
         return out
 
+    def upload_one(d: _Decoded):
+        samples = d.raw.sample_array
+        d.raw.sample_array = None  # device owns it after the put below
+        return _upload_song(samples, bucket_length(d.n), kind)
+
     buckets: dict = {}
-    in_flight: list = []  # [(entries, device_features)]
+    in_flight: list = []  # [(entries, Future[device_features])]
+    pending_uploads: list = []  # [(future, nbytes)] oldest-first
 
     def dispatch(bucket_key, entries):
+        # a dispatch can block waiting for its inputs' wire transfers;
+        # run it off-thread so routing/decode/upload keep flowing
         padded_len, b = bucket_key
-        feats = _analyze_bucket_async(entries, padded_len, b, version)
-        in_flight.append((entries, feats))
+        fut = dispatcher.submit(
+            _dispatch_bucket, entries, padded_len, b, version, kind
+        )
+        in_flight.append((entries, fut))
 
     def drain(keep: int = 0):
         while len(in_flight) > keep:
-            entries, feats = in_flight.pop(0)
-            host = np.asarray(feats)[: len(entries)]
+            entries, fut = in_flight.pop(0)
+            host = np.asarray(fut.result())[: len(entries)]
             for e, f in zip(entries, host):
                 yield e.path, _make_song(e.raw, f, options)
 
-    with ThreadPoolExecutor(max_workers=workers) as pool:
-        for decoded_list in pool.map(decode_one, enumerate(paths)):
-            for d in decoded_list:
-                if d.error is not None:
-                    yield d.path, d.error
-                    continue
-                n = d.raw.sample_array.shape[0]
-                if n < MIN_SAMPLES:
-                    yield d.path, AnalysisError("empty or too short song.")
-                    continue
-                padded = bucket_length(n)
-                b = batch_size if padded <= LONG_SONG else max(1, batch_size // 4)
-                key = (padded, b)
-                buckets.setdefault(key, []).append(d)
-                if len(buckets[key]) == b:
-                    dispatch(key, buckets.pop(key))
-                    # keep two batches in flight: host buffer building +
-                    # upload of the next batch overlaps device compute
-                    yield from drain(keep=2)
+    def route(d: _Decoded):
+        """Place one decoded song into its bucket; dispatch full buckets."""
+        if d.error is not None:
+            return [(d.path, d.error)], None
+        if d.n < MIN_SAMPLES:
+            return [(d.path, AnalysisError("empty or too short song."))], None
+        padded = bucket_length(d.n)
+        b = batch_size if padded <= LONG_SONG else max(1, batch_size // 4)
+        key = (padded, b)
+        buckets.setdefault(key, []).append(d)
+        if len(buckets[key]) == b:
+            return [], (key, buckets.pop(key))
+        return [], None
+
+    window = max(workers * 2, batch_size)
+    with ThreadPoolExecutor(max_workers=workers) as pool, ThreadPoolExecutor(
+        max_workers=UPLOAD_THREADS
+    ) as uploader, ThreadPoolExecutor(max_workers=1) as dispatcher:
+        inputs = iter(enumerate(paths))
+        futures = set()
+
+        def top_up():
+            while len(futures) < window:
+                try:
+                    item = next(inputs)
+                except StopIteration:
+                    return
+                futures.add(pool.submit(decode_one, item))
+
+        def submit_upload(d: _Decoded):
+            # bound decoded-but-unsent bytes: block on the oldest transfer
+            pending_uploads[:] = [
+                (f, nb) for f, nb in pending_uploads if not f.done()
+            ]
+            while (
+                sum(nb for _, nb in pending_uploads)
+                > MAX_PENDING_UPLOAD_BYTES
+            ):
+                pending_uploads.pop(0)[0].result()
+            d.upload = uploader.submit(upload_one, d)
+            pending_uploads.append((d.upload, 4 * d.n))
+
+        top_up()
+        while futures:
+            done, futures = wait(futures, return_when=FIRST_COMPLETED)
+            for fut in done:
+                for d in fut.result():
+                    if d.error is None and d.n >= MIN_SAMPLES:
+                        submit_upload(d)
+                    errs, ready = route(d)
+                    yield from errs
+                    if ready is not None:
+                        dispatch(*ready)
+                        yield from drain(keep=in_flight_batches)
+            top_up()
         for key, entries in list(buckets.items()):
             dispatch(key, entries)
         yield from drain()
@@ -216,7 +422,7 @@ def _decode_cue(decoder_cls, path, order) -> List[_Decoded]:
                 sample_array=np.ascontiguousarray(samples[start:end]),
             )
             pre._cue_paths = (path, audio_path)  # type: ignore[attr-defined]
-            out.append(_Decoded(order, pre.path, raw=pre, cue_sibling=True))
+            out.append(_Decoded(order, pre.path, raw=pre))
     return out
 
 

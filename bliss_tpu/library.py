@@ -493,6 +493,28 @@ class Library:
             analysis_options or self.config.analysis_options,
         )
 
+    def _analysis_results(self, paths, analysis_options):
+        """The analysis driver behind every `analyze_paths*`/
+        `update_library*` call.
+
+        Decoders that only implement the `decode` protocol method get the
+        TPU-batched driver (bucketed `[B, T]` device batches with
+        per-song streaming uploads — io/batch.py); a decoder that
+        overrides `analyze_paths_with_options` keeps its own driver
+        (third-party decoder escape hatch, mirroring the reference's
+        trait-default split at src/song/decoder.rs:115-333).
+        """
+        from .io.batch import analyze_paths_batched
+        from .io.decoder import Decoder as _DecoderProtocol
+
+        impl = self.decoder_cls.analyze_paths_with_options
+        base = _DecoderProtocol.analyze_paths_with_options
+        if getattr(impl, "__func__", impl) is getattr(base, "__func__", base):
+            return analyze_paths_batched(
+                self.decoder_cls, paths, analysis_options
+            )
+        return impl(paths, analysis_options)
+
     def analyze_paths_convert_extra_info(
         self,
         paths_extra_info,
@@ -523,7 +545,7 @@ class Library:
 
         cue_extra_info: dict = {}
         success, failure = 0, 0
-        results = self.decoder_cls.analyze_paths_with_options(
+        results = self._analysis_results(
             list(paths_extra_info.keys()), analysis_options
         )
         for path, result in results:

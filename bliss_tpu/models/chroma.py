@@ -238,15 +238,20 @@ def _compensated_matmul(a: jnp.ndarray, b: jnp.ndarray, chunk: int = 512):
     cuts the accumulation error to roughly the in-chunk level. No-op
     cost: same total FLOPs, 8 small matmuls instead of 1.
     """
+    import jax
+
+    hi_prec = jax.lax.Precision.HIGHEST  # TPU f32 matmul defaults to
+    # bf16 multiplies (~1e-3 rel) — measured 6e-4 abs chroma drift with
+    # default precision vs ≤2e-5 with HIGHEST (PERF.md round 2)
     k = a.shape[1]
     if a.dtype == jnp.float64 or k <= chunk:
-        return a @ b
+        return jnp.matmul(a, b, precision=hi_prec)
     bounds = list(range(0, k, chunk))
-    s = a[:, : min(chunk, k)] @ b[: min(chunk, k)]
+    s = jnp.matmul(a[:, : min(chunk, k)], b[: min(chunk, k)], precision=hi_prec)
     comp = jnp.zeros_like(s)
     for lo in bounds[1:]:
         hi = min(lo + chunk, k)
-        p = a[:, lo:hi] @ b[lo:hi]
+        p = jnp.matmul(a[:, lo:hi], b[lo:hi], precision=hi_prec)
         t = s + p
         comp = comp + jnp.where(
             jnp.abs(s) >= jnp.abs(p), (s - t) + p, (p - t) + s

@@ -210,7 +210,7 @@ def _autocorr(df: jnp.ndarray) -> jnp.ndarray:
     toeplitz = jnp.where(
         valid, df[jnp.clip(shift, 0, n - 1)], jnp.zeros((), df.dtype)
     )
-    acf = toeplitz @ df
+    acf = jnp.matmul(toeplitz, df, precision=jax.lax.Precision.HIGHEST)
     return acf / (n - jnp.arange(n, dtype=df.dtype))
 
 

@@ -77,7 +77,7 @@ def sharded_closest_distances(
     def run(lib, s, m):
         lib = jax.lax.with_sharding_constraint(lib, lib_sharding)
         d = lib[:, None, :] - s[None, :, :]
-        q = jnp.einsum("nkf,fg,nkg->nk", d, m, d)
+        q = jnp.einsum("nkf,fg,nkg->nk", d, m, d, precision="highest")
         return jnp.sum(jnp.sqrt(jnp.maximum(q, 0.0)), axis=1)
 
     lib = jax.device_put(jnp.asarray(library, jnp.float32), lib_sharding)
@@ -115,7 +115,7 @@ def sharded_top_k(
     )
     def local_topk(lib, s, m):
         d = lib[:, None, :] - s[None, :, :]
-        q = jnp.einsum("nkf,fg,nkg->nk", d, m, d)
+        q = jnp.einsum("nkf,fg,nkg->nk", d, m, d, precision="highest")
         dist = jnp.sum(jnp.sqrt(jnp.maximum(q, 0.0)), axis=1)
         neg_top, idx = jax.lax.top_k(-dist, k_local)
         base = jax.lax.axis_index(axis) * lib.shape[0]

@@ -163,7 +163,7 @@ def _batched_mahalanobis(
     s = jnp.asarray(np.stack(seeds), jnp.float32)  # [K, F]
     mm = jnp.asarray(m, jnp.float32)
     d = x[:, None, :] - s[None, :, :]  # [N, K, F]
-    q = jnp.einsum("nkf,fg,nkg->nk", d, mm, d)
+    q = jnp.einsum("nkf,fg,nkg->nk", d, mm, d, precision="highest")
     out = jnp.sum(jnp.sqrt(jnp.maximum(q, 0.0)), axis=1)
     return np.asarray(out)
 
@@ -175,7 +175,7 @@ def _batched_cosine(matrix: np.ndarray, seeds: List[np.ndarray]) -> np.ndarray:
     s = jnp.asarray(np.stack(seeds), jnp.float32)
     xn = jnp.sqrt(jnp.sum(x * x, axis=1))
     sn = jnp.sqrt(jnp.sum(s * s, axis=1))
-    sim = (x @ s.T) / (xn[:, None] * sn[None, :])
+    sim = jnp.matmul(x, s.T, precision="highest") / (xn[:, None] * sn[None, :])
     return np.asarray(jnp.sum(1.0 - sim, axis=1))
 
 
@@ -412,17 +412,21 @@ def _device_greedy_chain(mat, start_idx, metric, alive0):
 
         def dist_row(cur):
             v = x[cur]
-            sim = (x @ v) / (norms * jnp.sqrt(jnp.dot(v, v)))
+            sim = jnp.matmul(x, v, precision="highest") / (
+                norms * jnp.sqrt(jnp.dot(v, v))
+            )
             return 1.0 - sim
 
     else:
         mm = jnp.asarray(m)
-        xm = x @ mm
+        xm = jnp.matmul(x, mm, precision="highest")
         q = jnp.sum(xm * x, axis=1)  # x_i^T M x_i, precomputed
 
         def dist_row(cur):
             v = x[cur]
-            quad = q + (v @ mm) @ v - 2.0 * (xm @ v)
+            quad = q + jnp.dot(
+                jnp.matmul(v, mm, precision="highest"), v
+            ) - 2.0 * jnp.matmul(xm, v, precision="highest")
             return jnp.sqrt(jnp.maximum(quad, 0.0))
 
     def step(carry, _):
@@ -452,15 +456,19 @@ def _pairwise_matrix(mat: np.ndarray, metric) -> np.ndarray:
         x = jnp.asarray(mat)
         mm = jnp.asarray(m)
         # (a-b)ᵀM(a-b) = aᵀMa + bᵀMb - 2aᵀMb  — norms + one GEMM
-        xm = x @ mm
+        xm = jnp.matmul(x, mm, precision="highest")
         q = jnp.sum(xm * x, axis=1)
-        cross = xm @ x.T
+        cross = jnp.matmul(xm, x.T, precision="highest")
         sq = jnp.maximum(q[:, None] + q[None, :] - 2.0 * cross, 0.0)
         return np.asarray(jnp.sqrt(sq))
     if metric is cosine_distance:
         x = jnp.asarray(mat)
         n = jnp.sqrt(jnp.sum(x * x, axis=1))
-        return np.asarray(1.0 - (x @ x.T) / (n[:, None] * n[None, :]))
+        return np.asarray(
+            1.0
+            - jnp.matmul(x, x.T, precision="highest")
+            / (n[:, None] * n[None, :])
+        )
     n = mat.shape[0]
     out = np.zeros((n, n), np.float32)
     for i in range(n):

@@ -54,6 +54,73 @@ def test_batched_cue(data_dir):
     )
 
 
+def test_i16b_wire_format_roundtrip():
+    """Block-floating-point wire: bit-exact on the s16 grid, ≤2^-15·peak
+    elsewhere, and NaN/zero-safe on silent + denormal blocks."""
+    from bliss_tpu.io.batch import WIRE_BLOCK, _quantize_i16b
+
+    def reconstruct(i16, e8):
+        scale = np.exp2(e8.astype(np.float32) - 15.0)
+        return (
+            i16.astype(np.float32).reshape(-1, WIRE_BLOCK) * scale[:, None]
+        ).reshape(-1)
+
+    rng = np.random.default_rng(0)
+    padded = 8 * WIRE_BLOCK
+
+    # straight-s16 content round-trips exactly
+    s16 = (rng.integers(-32768, 32768, size=padded) / 32768.0).astype(
+        np.float32
+    )
+    rec = reconstruct(*_quantize_i16b(s16, padded))
+    np.testing.assert_array_equal(rec, s16)
+
+    # arbitrary f32 content: per-block relative error ≤ 2^-15 of the peak
+    x = (rng.normal(size=padded) * np.repeat(
+        np.exp2(rng.integers(-40, 4, size=8)), WIRE_BLOCK
+    )).astype(np.float32)
+    rec = reconstruct(*_quantize_i16b(x, padded))
+    peaks = np.abs(x).reshape(-1, WIRE_BLOCK).max(axis=1)
+    assert (
+        np.abs(rec - x).reshape(-1, WIRE_BLOCK).max(axis=1)
+        <= peaks * 2.0**-15 + 1e-30
+    ).all()
+
+    # silence + denormal blocks: finite, and silence is exactly zero
+    x = np.zeros(padded, np.float32)
+    x[WIRE_BLOCK : 2 * WIRE_BLOCK] = 1e-38
+    rec = reconstruct(*_quantize_i16b(x, padded))
+    assert np.isfinite(rec).all()
+    assert (rec[:WIRE_BLOCK] == 0).all()
+
+    # short (partial-block) song pads with zeros
+    rec = reconstruct(*_quantize_i16b(s16[: WIRE_BLOCK + 7], padded))
+    np.testing.assert_array_equal(rec[: WIRE_BLOCK + 7], s16[: WIRE_BLOCK + 7])
+    assert (rec[WIRE_BLOCK + 7 :] == 0).all()
+
+
+def test_batched_i16b_upload_matches_f32(data_dir, monkeypatch):
+    """The quantized TPU wire format tracks exact f32 on a resampled
+    fixture (CPU backend used as the executor).
+
+    Smooth features agree to ~2e-6; the threshold-counting features
+    (ZCR sign flips, rolloff bin crossings) can move ~2e-4 under any
+    sample-level perturbation — well inside the reference's own
+    cross-decoder tolerance envelope (bliss-rs
+    src/song/decoder/symphonia.rs:701-750: <1e-4 typical per feature,
+    up to 0.175 on pure tones). Straight-s16 sources (the golden parity
+    fixtures) round-trip bit-exactly — see test_i16b_wire_format_roundtrip.
+    """
+    monkeypatch.setenv("BLISS_UPLOAD", "i16b")
+    paths = [data_dir / "s32_stereo_44_1_kHz.mp3"]
+    (quant,) = dict(analyze_paths_batched(FFmpegDecoder, paths)).values()
+    monkeypatch.setenv("BLISS_UPLOAD", "f32")
+    (exact,) = dict(analyze_paths_batched(FFmpegDecoder, paths)).values()
+    np.testing.assert_allclose(
+        quant.analysis.as_arr1(), exact.analysis.as_arr1(), atol=3e-4
+    )
+
+
 def test_batched_version1(data_dir):
     from bliss_tpu import FeaturesVersion
     from bliss_tpu.song import AnalysisOptions

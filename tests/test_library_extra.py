@@ -173,3 +173,70 @@ def test_training_triplet_table_usable(library):
         "select count(*) from training_triplet"
     ).fetchone()[0]
     assert n == 1
+
+
+def test_library_analyze_paths_uses_batched_driver(tmp_path, data_dir):
+    """`Library.analyze_paths` over mixed real songs goes through the
+    TPU-batched driver and stores rows identical to the per-song path
+    (VERDICT r1 item 3; reference driver src/library.rs:1187-1293)."""
+    from bliss_tpu.io.decoder import FFmpegDecoder
+
+    fixtures = [
+        data_dir / "s16_mono_22_5kHz.flac",
+        data_dir / "piano.flac",
+        data_dir / "s32_stereo_44_1_kHz.mp3",
+        data_dir / "s32_stereo_44_1_kHz.flac",
+    ]
+    paths = []
+    for i in range(8):
+        src = fixtures[i % len(fixtures)]
+        p = tmp_path / f"song{i}{src.suffix}"
+        p.symlink_to(src)
+        paths.append(p)
+    config = BaseConfig(
+        config_path=tmp_path / "config.json",
+        database_path=tmp_path / "songs.db",
+    )
+    library = Library(config, FFmpegDecoder)
+    library.analyze_paths(paths)
+
+    stored = {
+        str(s.bliss_song.path): s.bliss_song.analysis.as_arr1()
+        for s in library.songs_from_library()
+    }
+    assert len(stored) == 8
+    single = {}
+    for src in fixtures:
+        single[src.suffix + src.name] = FFmpegDecoder.song_from_path(
+            src
+        ).analysis.as_arr1()
+    for i, p in enumerate(paths):
+        src = fixtures[i % len(fixtures)]
+        np.testing.assert_allclose(
+            stored[str(p)], single[src.suffix + src.name], atol=5e-5
+        )
+    assert library.get_failed_songs() == []
+
+
+def test_library_respects_custom_batch_driver(tmp_path):
+    """A decoder that overrides `analyze_paths_with_options` keeps its own
+    driver (third-party decoder escape hatch)."""
+    calls = []
+
+    class CustomDriverDecoder(Decoder):
+        @classmethod
+        def decode(cls, path):
+            return PreAnalyzedSong(path=pathlib.Path(path))
+
+        @classmethod
+        def analyze_paths_with_options(cls, paths, analysis_options):
+            calls.append([str(p) for p in paths])
+            return iter(())
+
+    config = BaseConfig(
+        config_path=tmp_path / "config.json",
+        database_path=tmp_path / "songs.db",
+    )
+    library = Library(config, CustomDriverDecoder)
+    library.analyze_paths(["/tmp/x.flac"])
+    assert calls == [["/tmp/x.flac"]]
