@@ -1,0 +1,96 @@
+"""FFI-free fallback decode stack: FLAC + WAV.
+
+Mirrors the reference's Symphonia-based alternative decoder
+(bliss-rs src/song/decoder/symphonia.rs:86-403): pure in-process
+decoding with no native dependencies, the same canonical output
+(f32/mono/22050 Hz), the same stereo downmix ((L+R)·√2/2,
+symphonia.rs:278-288), and the documented cross-decoder tolerance story
+(symphonia.rs:701-750) instead of bit-parity with FFmpeg.
+
+Compressed formats beyond FLAC (MP3/OGG) still require the native
+FFmpeg stack — a pure-Python psychoacoustic codec is out of scope.
+"""
+
+from __future__ import annotations
+
+import pathlib
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..errors import DecodingError
+from ..features import SAMPLE_RATE
+from .decoder import Decoder, PreAnalyzedSong, _parse_track_number
+from .flac import read_flac
+from .wav import WavDecoder, _downmix, resample_sinc
+
+
+def _tag(tags: Dict[str, str], *keys: str) -> Optional[str]:
+    for k in keys:
+        if k in tags:
+            return tags[k]
+    return None
+
+
+class FlacDecoder(Decoder):
+    """Pure-Python FLAC → canonical PCM (f32/mono/22050 Hz)."""
+
+    @classmethod
+    def decode(cls, path) -> PreAnalyzedSong:
+        path = pathlib.Path(path)
+        pcm, rate, bps, tags, _total = read_flac(path)
+        frames = (pcm.astype(np.float64) / float(1 << (bps - 1))).astype(
+            np.float32
+        )
+        mono = _downmix(frames)
+        samples = resample_sinc(mono, rate, SAMPLE_RATE)
+        return PreAnalyzedSong(
+            path=path,
+            title=_tag(tags, "TITLE"),
+            artist=_tag(tags, "ARTIST"),
+            album=_tag(tags, "ALBUM"),
+            album_artist=_tag(tags, "ALBUMARTIST", "ALBUM_ARTIST", "ALBUM ARTIST"),
+            genre=_tag(tags, "GENRE"),
+            track_number=_parse_track_number(
+                _tag(tags, "TRACKNUMBER", "TRACK")
+            ),
+            disc_number=_parse_track_number(
+                _tag(tags, "DISCNUMBER", "DISC")
+            ),
+            duration=round(samples.shape[0] / SAMPLE_RATE, 9),
+            sample_array=np.asarray(samples, np.float32),
+        )
+
+
+class FallbackDecoder(Decoder):
+    """Dispatch to the FFI-free decoder for the file's container."""
+
+    @classmethod
+    def decode(cls, path) -> PreAnalyzedSong:
+        path = pathlib.Path(path)
+        suffix = path.suffix.lower()
+        if suffix == ".flac":
+            return FlacDecoder.decode(path)
+        if suffix in (".wav", ".wave"):
+            return WavDecoder.decode(path)
+        # sniff the magic for extensionless/mislabeled files
+        try:
+            head = path.open("rb").read(4)
+        except FileNotFoundError:
+            raise DecodingError(
+                f"while opening format for file '{path}': "
+                "No such file or directory."
+            ) from None
+        except OSError as e:
+            raise DecodingError(
+                f"while opening format for file '{path}': {e}."
+            ) from None
+        if head == b"fLaC":
+            return FlacDecoder.decode(path)
+        if head == b"RIFF":
+            return WavDecoder.decode(path)
+        raise DecodingError(
+            f"unsupported format for the FFI-free fallback decoder: "
+            f"'{path}' (FLAC and WAV are supported; use FFmpegDecoder "
+            "for compressed formats)."
+        )

@@ -57,7 +57,10 @@ def resample_sinc(
         return samples.astype(np.float32)
     x = samples.astype(np.float64)
     n_in = x.shape[0]
-    n_out = int(np.floor(n_in * out_rate / in_rate))
+    # ffmpeg's swresample emits ceil(n_in·out/in) samples once flushed
+    # (observed: 246227 @44.1k → 123114 @22.05k); match it so the
+    # cross-decoder tests can require equal lengths (symphonia.rs:732-737)
+    n_out = -(-n_in * out_rate // in_rate)
     ratio = in_rate / out_rate
     cutoff = min(1.0, 1.0 / ratio) * _CUTOFF_SCALE  # rel. to input Nyquist
 
