@@ -15,6 +15,33 @@ Architecture (TPU-first, not a port):
   * `library`   — SQLite persistence, config, incremental updates
 """
 
+import os as _os
+
+
+def _enable_persistent_compile_cache() -> None:
+    """Point jax at a persistent compilation cache (unless the user
+    already configured one). Remote/TPU compiles are expensive (tens of
+    seconds to minutes through a tunnel); every analyzer program is
+    shape-bucketed precisely so repeat runs hit this cache."""
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                _os.environ.get(
+                    "BLISS_JAX_CACHE_DIR", "/tmp/bliss_jax_cache"
+                ),
+            )
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
+    except Exception:  # pragma: no cover - jax misconfiguration
+        pass
+
+
+_enable_persistent_compile_cache()
+
 from .errors import AnalysisError, BlissError, DecodingError, ProviderError
 from .features import (
     CHANNELS,
