@@ -320,6 +320,32 @@ _SONG_COLUMNS = (
 )
 
 
+def _path_str(song_path) -> str:
+    """Path -> UTF-8 string for SQLite, rejecting non-UTF-8 paths.
+
+    Mirrors the reference's `path.to_str().ok_or(ProviderError(...))`
+    (src/library.rs:1418-1423): a POSIX path with invalid UTF-8 bytes
+    (surfacing in Python as surrogate escapes) is a ProviderError, not a
+    mangled DB row.
+    """
+    s = os.fspath(song_path)
+    if isinstance(s, bytes):
+        try:
+            s = s.decode("utf-8")
+        except UnicodeDecodeError:
+            raise ProviderError(
+                f"Could not convert path {song_path!r} to valid unicode"
+            ) from None
+        return s
+    try:
+        s.encode("utf-8")
+    except UnicodeEncodeError:
+        raise ProviderError(
+            f"Could not convert path {song_path!r} to valid unicode"
+        ) from None
+    return s
+
+
 class Library:
     """A collection of analyzed [Song]s backed by SQLite
     (src/library.rs:426-1750)."""
@@ -745,6 +771,7 @@ class Library:
 
     def song_from_path(self, song_path) -> LibrarySong:
         """One analyzed song by exact path (src/library.rs:1414-1463)."""
+        song_path = _path_str(song_path)
         with self._lock:
             row = self.sqlite_conn.execute(
                 f"""
@@ -846,6 +873,7 @@ class Library:
         """Transactional upsert of song + features
         (src/library.rs:1544-1633)."""
         song = library_song.bliss_song
+        song_path = _path_str(song.path)
         cue_path = (
             str(song.cue_info.cue_path) if song.cue_info else None
         )
@@ -879,7 +907,7 @@ class Library:
                         audio_file_path=excluded.audio_file_path
                     """,
                     (
-                        str(song.path),
+                        song_path,
                         song.artist,
                         song.title,
                         song.album,
@@ -898,7 +926,7 @@ class Library:
                 cur.execute(
                     "delete from feature where song_id in "
                     "(select id from song where path = ?)",
-                    (str(song.path),),
+                    (song_path,),
                 )
                 cur.executemany(
                     """
@@ -908,7 +936,7 @@ class Library:
                     do update set feature=excluded.feature
                     """,
                     [
-                        (str(song.path), float(f), i)
+                        (song_path, float(f), i)
                         for i, f in enumerate(song.analysis.as_vec())
                     ],
                 )
@@ -928,7 +956,7 @@ class Library:
             self.sqlite_conn.execute(
                 "insert or replace into song (path, error, version) "
                 "values (?, ?, ?)",
-                (str(song_path), str(error), int(features_version)),
+                (_path_str(song_path), str(error), int(features_version)),
             )
             self.sqlite_conn.commit()
 
@@ -946,9 +974,10 @@ class Library:
         ]
 
     def delete_path(self, song_path) -> None:
+        song_path = _path_str(song_path)
         with self._lock:
             cur = self.sqlite_conn.execute(
-                "delete from song where path = ?", (str(song_path),)
+                "delete from song where path = ?", (song_path,)
             )
             self.sqlite_conn.commit()
         if cur.rowcount == 0:
@@ -958,7 +987,7 @@ class Library:
             )
 
     def delete_paths(self, paths: Iterable) -> int:
-        paths = [str(p) for p in paths]
+        paths = [_path_str(p) for p in paths]
         if not paths:
             return 0
         placeholders = ",".join("?" * len(paths))

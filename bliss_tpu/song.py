@@ -50,6 +50,19 @@ class AnalysisOptions:
             self.number_cores = os.cpu_count() or 1
 
 
+def _f32_debug(x) -> str:
+    """Rust `{:?}`-style f32 formatting: the shortest decimal string that
+    round-trips the f32 value, always with a fractional part (1 -> "1.0")."""
+    return np.format_float_positional(np.float32(x), unique=True, trim="0")
+
+
+def _camel(name: str) -> str:
+    """SCREAMING_SNAKE enum member -> the reference's CamelCase variant
+    name (TEMPO -> Tempo, MEAN_SPECTRAL_CENTROID -> MeanSpectralCentroid,
+    CHROMA1 -> Chroma1)."""
+    return "".join(part.capitalize() for part in name.split("_"))
+
+
 class Analysis:
     """A versioned f32 feature vector (src/song/mod.rs:224-371)."""
 
@@ -90,16 +103,24 @@ class Analysis:
         )
 
     def __repr__(self) -> str:
+        """Snapshot-stable Debug format matching the reference's custom
+        `fmt::Debug` for Analysis (src/song/mod.rs:294-324, golden
+        snapshots :711-735): named fields then the raw vector in a
+        `/* [...] */` trailer, floats in Rust's shortest-roundtrip f32
+        notation."""
         idx_enum = (
             AnalysisIndex
             if self.features_version == FeaturesVersion.VERSION2
             else AnalysisIndexV1
         )
         fields = ", ".join(
-            f"{name.name}: {self._vec[name.value]}" for name in idx_enum
+            f"{_camel(name.name)}: {_f32_debug(self._vec[name.value])}"
+            for name in idx_enum
         )
+        raw = ", ".join(_f32_debug(x) for x in self._vec)
         return (
-            f"Analysis (Version {int(self.features_version)}) {{ {fields} }}"
+            f"Analysis (Version {int(self.features_version)}) "
+            f"{{ {fields} }} /* [{raw}] */"
         )
 
     def distance(self, other: "Analysis") -> float:

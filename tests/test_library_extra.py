@@ -108,6 +108,37 @@ def test_store_song_utf8ish_path(library):
     assert got.bliss_song.path == song.path
 
 
+# An invalid-UTF-8 POSIX path (b"/tmp/invalid\xFF\xFE.mp3") as Python
+# surfaces it: surrogate-escaped (src/library.rs test_*_utf8_failure).
+_INVALID_PATH = pathlib.Path(
+    b"/tmp/invalid\xff\xfe.mp3".decode("utf-8", "surrogateescape")
+)
+
+
+def test_store_song_utf8_failure(library):
+    """Invalid-UTF-8 path -> ProviderError, nothing stored
+    (src/library.rs:3631-3661 test_store_song_utf8_failure)."""
+    song = _song(_INVALID_PATH, 0.5)
+    with pytest.raises(ProviderError, match="unicode"):
+        library.store_song(LibrarySong(song, None))
+    count = library.sqlite_conn.execute(
+        "select count(*) from song"
+    ).fetchone()[0]
+    assert count == 0
+
+
+def test_delete_song_utf8_failure(library):
+    """(src/library.rs:3663-3688 test_delete_song_utf8_failure)."""
+    with pytest.raises(ProviderError, match="unicode"):
+        library.delete_path(_INVALID_PATH)
+
+
+def test_song_from_path_utf8_failure(library):
+    """(src/library.rs:3690-3713 test_song_from_path_utf8_failure)."""
+    with pytest.raises(ProviderError, match="unicode"):
+        library.song_from_path(_INVALID_PATH)
+
+
 def test_update_library_reanalyzes_old_version(library):
     """Songs analyzed with an older features version are wiped and
     reanalyzed when new paths arrive (src/library.rs:1073-1085)."""

