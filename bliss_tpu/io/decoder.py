@@ -240,5 +240,16 @@ class FFmpegDecoder(Decoder):
             lib.bliss_decode_free(res)
 
 
-#: The default decoder (reference src/song/decoder.rs:67-74).
-DefaultDecoder = FFmpegDecoder
+def _default_decoder():
+    """The default decoder (reference src/song/decoder.rs:67-74: FFmpeg
+    when the feature is on, Symphonia otherwise). BLISS_DECODER=fallback
+    selects the FFI-free pure-Python stack the same way the reference's
+    feature flags select Symphonia."""
+    if os.environ.get("BLISS_DECODER") == "fallback":
+        from .fallback import FallbackDecoder
+
+        return FallbackDecoder
+    return FFmpegDecoder
+
+
+DefaultDecoder = _default_decoder()

@@ -1,4 +1,4 @@
-"""FFI-free fallback decode stack: FLAC + WAV.
+"""FFI-free fallback decode stack: FLAC + OGG Vorbis + WAV.
 
 Mirrors the reference's Symphonia-based alternative decoder
 (bliss-rs src/song/decoder/symphonia.rs:86-403): pure in-process
@@ -7,8 +7,9 @@ decoding with no native dependencies, the same canonical output
 symphonia.rs:278-288), and the documented cross-decoder tolerance story
 (symphonia.rs:701-750) instead of bit-parity with FFmpeg.
 
-Compressed formats beyond FLAC (MP3/OGG) still require the native
-FFmpeg stack — a pure-Python psychoacoustic codec is out of scope.
+Of the reference fallback's four formats (FLAC/MP3/OGG/WAV) only MP3
+still requires the native FFmpeg stack — its Layer III Huffman/synthesis
+tables make a clean-room pure-Python decoder impractical here.
 """
 
 from __future__ import annotations
@@ -22,6 +23,7 @@ from ..errors import DecodingError
 from ..features import SAMPLE_RATE
 from .decoder import Decoder, PreAnalyzedSong, _parse_track_number
 from .flac import read_flac
+from .vorbis import read_vorbis
 from .wav import WavDecoder, _downmix, resample_sinc
 
 
@@ -30,6 +32,31 @@ def _tag(tags: Dict[str, str], *keys: str) -> Optional[str]:
         if k in tags:
             return tags[k]
     return None
+
+
+def _song_from_frames(
+    path: pathlib.Path, frames: np.ndarray, rate: int, tags: Dict[str, str]
+) -> PreAnalyzedSong:
+    """[N, C] float frames + vorbis-comment-style tags → canonical
+    PreAnalyzedSong (downmix + resample to f32/mono/22050 Hz)."""
+    mono = _downmix(frames)
+    samples = resample_sinc(mono, rate, SAMPLE_RATE)
+    return PreAnalyzedSong(
+        path=path,
+        title=_tag(tags, "TITLE"),
+        artist=_tag(tags, "ARTIST"),
+        album=_tag(tags, "ALBUM"),
+        album_artist=_tag(tags, "ALBUMARTIST", "ALBUM_ARTIST", "ALBUM ARTIST"),
+        genre=_tag(tags, "GENRE"),
+        track_number=_parse_track_number(
+            _tag(tags, "TRACKNUMBER", "TRACK")
+        ),
+        disc_number=_parse_track_number(
+            _tag(tags, "DISCNUMBER", "DISC")
+        ),
+        duration=round(samples.shape[0] / SAMPLE_RATE, 9),
+        sample_array=np.asarray(samples, np.float32),
+    )
 
 
 class FlacDecoder(Decoder):
@@ -42,24 +69,17 @@ class FlacDecoder(Decoder):
         frames = (pcm.astype(np.float64) / float(1 << (bps - 1))).astype(
             np.float32
         )
-        mono = _downmix(frames)
-        samples = resample_sinc(mono, rate, SAMPLE_RATE)
-        return PreAnalyzedSong(
-            path=path,
-            title=_tag(tags, "TITLE"),
-            artist=_tag(tags, "ARTIST"),
-            album=_tag(tags, "ALBUM"),
-            album_artist=_tag(tags, "ALBUMARTIST", "ALBUM_ARTIST", "ALBUM ARTIST"),
-            genre=_tag(tags, "GENRE"),
-            track_number=_parse_track_number(
-                _tag(tags, "TRACKNUMBER", "TRACK")
-            ),
-            disc_number=_parse_track_number(
-                _tag(tags, "DISCNUMBER", "DISC")
-            ),
-            duration=round(samples.shape[0] / SAMPLE_RATE, 9),
-            sample_array=np.asarray(samples, np.float32),
-        )
+        return _song_from_frames(path, frames, rate, tags)
+
+
+class OggDecoder(Decoder):
+    """Pure-Python Ogg Vorbis → canonical PCM (f32/mono/22050 Hz)."""
+
+    @classmethod
+    def decode(cls, path) -> PreAnalyzedSong:
+        path = pathlib.Path(path)
+        pcm, rate, tags, _total = read_vorbis(path)
+        return _song_from_frames(path, pcm, rate, tags)
 
 
 class FallbackDecoder(Decoder):
@@ -71,6 +91,8 @@ class FallbackDecoder(Decoder):
         suffix = path.suffix.lower()
         if suffix == ".flac":
             return FlacDecoder.decode(path)
+        if suffix in (".ogg", ".oga"):
+            return OggDecoder.decode(path)
         if suffix in (".wav", ".wave"):
             return WavDecoder.decode(path)
         # sniff the magic for extensionless/mislabeled files
@@ -87,10 +109,12 @@ class FallbackDecoder(Decoder):
             ) from None
         if head == b"fLaC":
             return FlacDecoder.decode(path)
+        if head == b"OggS":
+            return OggDecoder.decode(path)
         if head == b"RIFF":
             return WavDecoder.decode(path)
         raise DecodingError(
             f"unsupported format for the FFI-free fallback decoder: "
-            f"'{path}' (FLAC and WAV are supported; use FFmpegDecoder "
-            "for compressed formats)."
+            f"'{path}' (FLAC, OGG Vorbis and WAV are supported; use "
+            "FFmpegDecoder for MP3 and other compressed formats)."
         )

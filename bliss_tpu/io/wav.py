@@ -94,8 +94,18 @@ def resample_sinc(
     padded = np.concatenate(
         [np.zeros(half, np.float64), x, np.zeros(half + 1, np.float64)]
     )
-    idx = base[:, None] + (k[None, :].astype(np.int64) + half)
-    out = np.einsum("ot,ot->o", padded[idx], kernel[phase_idx])
+    # chunk the [n_out, taps] gather+dot: the full index matrix for a
+    # 5-minute 48 kHz file would be ~7 GB of f64 — blocked evaluation
+    # keeps it cache-resident with identical results
+    koff = k.astype(np.int64) + half
+    out = np.empty(n_out, np.float64)
+    block = 1 << 17
+    for lo in range(0, n_out, block):
+        hi = min(lo + block, n_out)
+        idx = base[lo:hi, None] + koff[None, :]
+        out[lo:hi] = np.einsum(
+            "ot,ot->o", padded[idx], kernel[phase_idx[lo:hi]]
+        )
     return out.astype(np.float32)
 
 
