@@ -1,15 +1,12 @@
-"""FFI-free fallback decode stack: FLAC + OGG Vorbis + WAV.
+"""FFI-free fallback decode stack: FLAC + MP3 + OGG Vorbis + WAV.
 
-Mirrors the reference's Symphonia-based alternative decoder
-(bliss-rs src/song/decoder/symphonia.rs:86-403): pure in-process
-decoding with no native dependencies, the same canonical output
-(f32/mono/22050 Hz), the same stereo downmix ((L+R)·√2/2,
-symphonia.rs:278-288), and the documented cross-decoder tolerance story
-(symphonia.rs:701-750) instead of bit-parity with FFmpeg.
-
-Of the reference fallback's four formats (FLAC/MP3/OGG/WAV) only MP3
-still requires the native FFmpeg stack — its Layer III Huffman/synthesis
-tables make a clean-room pure-Python decoder impractical here.
+Mirrors the reference's Symphonia-based alternative decoder at full
+format parity (bliss-rs src/song/decoder/symphonia.rs:86-403, features
+symphonia-{flac,mp3,ogg,vorbis,wav}): pure in-process decoding with no
+native dependencies, the same canonical output (f32/mono/22050 Hz), the
+same stereo downmix ((L+R)·√2/2, symphonia.rs:278-288), and the
+documented cross-decoder tolerance story (symphonia.rs:701-750) instead
+of bit-parity with FFmpeg.
 """
 
 from __future__ import annotations
@@ -23,6 +20,7 @@ from ..errors import DecodingError
 from ..features import SAMPLE_RATE
 from .decoder import Decoder, PreAnalyzedSong, _parse_track_number
 from .flac import read_flac
+from .mp3 import read_mp3
 from .vorbis import read_vorbis
 from .wav import WavDecoder, _downmix, resample_sinc
 
@@ -72,6 +70,16 @@ class FlacDecoder(Decoder):
         return _song_from_frames(path, frames, rate, tags)
 
 
+class Mp3Decoder(Decoder):
+    """Pure-Python MP3 → canonical PCM (f32/mono/22050 Hz)."""
+
+    @classmethod
+    def decode(cls, path) -> PreAnalyzedSong:
+        path = pathlib.Path(path)
+        pcm, rate, tags, _total = read_mp3(path)
+        return _song_from_frames(path, pcm, rate, tags)
+
+
 class OggDecoder(Decoder):
     """Pure-Python Ogg Vorbis → canonical PCM (f32/mono/22050 Hz)."""
 
@@ -93,6 +101,8 @@ class FallbackDecoder(Decoder):
             return FlacDecoder.decode(path)
         if suffix in (".ogg", ".oga"):
             return OggDecoder.decode(path)
+        if suffix == ".mp3":
+            return Mp3Decoder.decode(path)
         if suffix in (".wav", ".wave"):
             return WavDecoder.decode(path)
         # sniff the magic for extensionless/mislabeled files
@@ -113,8 +123,11 @@ class FallbackDecoder(Decoder):
             return OggDecoder.decode(path)
         if head == b"RIFF":
             return WavDecoder.decode(path)
+        if head[:3] == b"ID3" or (
+            len(head) >= 2 and head[0] == 0xFF and (head[1] & 0xE6) == 0xE2
+        ):
+            return Mp3Decoder.decode(path)
         raise DecodingError(
             f"unsupported format for the FFI-free fallback decoder: "
-            f"'{path}' (FLAC, OGG Vorbis and WAV are supported; use "
-            "FFmpegDecoder for MP3 and other compressed formats)."
+            f"'{path}' (FLAC, MP3, OGG Vorbis and WAV are supported)."
         )

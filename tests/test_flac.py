@@ -117,8 +117,10 @@ def test_fallback_decoder_dispatch(data_dir, tmp_path):
     shutil.copyfile(data_dir / "piano.flac", noext)
     sniffed = FallbackDecoder.decode(noext)
     np.testing.assert_array_equal(sniffed.sample_array, flac.sample_array)
+    unknown = tmp_path / "unknown.bin"
+    unknown.write_bytes(b"\x89PNG not audio at all")
     with pytest.raises(DecodingError, match="unsupported format"):
-        FallbackDecoder.decode(data_dir / "s16_mono_22_5kHz.mp3")
+        FallbackDecoder.decode(unknown)
 
 
 def test_golden_vector_via_fallback(data_dir):
