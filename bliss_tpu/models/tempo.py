@@ -38,10 +38,10 @@ import numpy as np
 
 from ..ops import (
     frame_signal,
+    framed_pvoc_mags,
     masked_quantile_midpoint,
     n_frames_strided,
     normalize_range,
-    pvoc_mags,
 )
 
 WINDOW_SIZE = 512  # src/temporal.rs:40
@@ -165,6 +165,23 @@ def silence_flags(frames: jnp.ndarray) -> jnp.ndarray:
     """Per-hop `is_silence` over the full 512-sample window
     (src/aubio.rs:1258-1276, gate at :1430)."""
     level = jnp.mean(frames * frames, axis=-1)
+    db = 10.0 * jnp.log10(level)
+    return db < SILENCE_DB
+
+
+def silence_flags_blocked(signal: jnp.ndarray, h_max: int) -> jnp.ndarray:
+    """`silence_flags` without materializing the `[H, 512]` frames.
+
+    The raw (non-slid) frame at hop h spans `[256h, 256h + 512)`, i.e.
+    exactly two consecutive 256-sample blocks — so per-frame energy is a
+    reshape + block-sum + neighbor add instead of a 2x-amplifying frame
+    gather through HBM."""
+    need = (h_max + 1) * HOP_SIZE
+    t = signal.shape[-1]
+    if t < need:
+        signal = jnp.pad(signal, (0, need - t))
+    b = jnp.sum(jnp.reshape(signal[:need], (-1, HOP_SIZE)) ** 2, axis=-1)
+    level = (b[:h_max] + b[1 : h_max + 1]) / WINDOW_SIZE
     db = 10.0 * jnp.log10(level)
     return db < SILENCE_DB
 
@@ -540,17 +557,15 @@ def tempo_feature(signal: jnp.ndarray, length, sample_rate: int = 22050):
     )
 
     # hop windows: pvoc frame at hop h spans [256(h-1), 256(h+1))
-    pvoc_frames = frame_signal(
+    mags = framed_pvoc_mags(
         signal, WINDOW_SIZE, HOP_SIZE, offset=WINDOW_SIZE - HOP_SIZE,
         n_frames=h_max,
-    )
-    mags = pvoc_mags(pvoc_frames)  # [H, 257]
+    )  # [H, 257]
     onset = onset_function(mags)
     thresh = thresholded_series(onset)  # [H]
 
     # silence gate sees the raw (non-slid) 512-sample window at hop h
-    raw_frames = frame_signal(signal, WINDOW_SIZE, HOP_SIZE, n_frames=h_max)
-    silent = silence_flags(raw_frames)
+    silent = silence_flags_blocked(signal, h_max)
 
     # --- sequential beat tracking, one scan step per `step` hops.
     # Block k runs BeatTracking at hop 127+128k on a detection-function

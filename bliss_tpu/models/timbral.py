@@ -13,13 +13,12 @@ import jax.numpy as jnp
 
 from ..features import SAMPLE_RATE
 from ..ops import (
-    frame_signal,
+    framed_pvoc_mags,
     geometric_mean,
     masked_mean,
     masked_std,
     n_frames_strided,
     normalize_range,
-    pvoc_mags_buggy,
     zero_crossing_count,
 )
 
@@ -33,11 +32,10 @@ def spectral_frame_mags(signal: jnp.ndarray, n_frames: int) -> jnp.ndarray:
     The pvoc buffer at hop `h` spans samples `[128h - 384, 128h + 128)`
     (zero history before the song start), see ops.windows.frame_signal.
     """
-    frames = frame_signal(
+    return framed_pvoc_mags(
         signal, WINDOW_SIZE, HOP_SIZE, offset=WINDOW_SIZE - HOP_SIZE,
-        n_frames=n_frames,
+        n_frames=n_frames, buggy=True,
     )
-    return pvoc_mags_buggy(frames)
 
 
 def spectral_features(signal: jnp.ndarray, length) -> jnp.ndarray:

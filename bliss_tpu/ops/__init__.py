@@ -13,7 +13,13 @@ from .windows import (
     n_frames_strided,
     n_frames_stft,
 )
-from .spectral import stft, pvoc_mags_buggy, pvoc_mags, convolve
+from .spectral import (
+    stft,
+    pvoc_mags_buggy,
+    pvoc_mags,
+    framed_pvoc_mags,
+    convolve,
+)
 from .reductions import (
     masked_mean,
     masked_std,
@@ -33,6 +39,7 @@ __all__ = [
     "stft",
     "pvoc_mags_buggy",
     "pvoc_mags",
+    "framed_pvoc_mags",
     "convolve",
     "masked_mean",
     "masked_std",

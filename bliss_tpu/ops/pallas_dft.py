@@ -1,32 +1,30 @@
 """Pallas TPU kernel: fused framing + window + DFT magnitudes.
 
 The XLA path materializes the strided frames `[n_frames, W]` in HBM (4x
-data amplification at 75% overlap) before the DFT matmul reads them back.
-This kernel keeps the signal in HBM and DMAs each frame block's
-contiguous signal slab into VMEM once — the overlapping samples never
-round-trip through HBM.
+data amplification at 75% overlap) and reads them back twice (cos and
+sin matmuls). This kernel reads the signal essentially once: the signal
+is pre-sliced (still on the XLA side, cheap contiguous copies) into one
+modest slab per 256-frame block — consecutive slabs only duplicate the
+`window - hop` tail samples, ~1.6% — and each slab is DMA'd to VMEM
+once by the standard BlockSpec pipeline, where the whole
+frame/window/DFT/magnitude computation happens in-core:
 
-The framing itself costs nothing: with `hop % 128 == 0` the slab viewed
-as `[rows, 128]` makes frame `i`'s c-th 128-sample chunk exactly row
-`i*(hop/128) + c`, so the windowed-frame DFT
+    out[f, b] = |sum_c (slab[f + c] * win_c) @ twiddle_c|
 
-    out[i, b] = sum_c (slab2d[i*rpf + c] * win_c) @ twiddle_c
-
-is `W/128` *statically-sliced* `[FB, 128] @ [128, BB]` MXU matmuls — no
-per-frame gather, no unaligned vector loads (which Mosaic rejects).
+with `width = hop` lanes per slab row, frame `f`'s c-th chunk is exactly
+slab row `f + c` — purely static slicing, no per-frame gather, no
+unaligned vector loads, and (crucially for the axon/libtpu stack, which
+faults on grid>1 kernels with program_id-dependent manual DMA offsets)
+**no manual DMA at all**.
 
 Covers the 512/128 timbral and 512/256 tempo pipelines; the chroma
 8192/2205 framing (hop not lane-aligned) stays on the XLA path.
 
-STATUS: experimental — validated in interpreter mode (abs err ~1.4e-6
-vs rfft), but the current axon/libtpu stack faults the TPU worker on
-ANY kernel combining grid > 1 with a `program_id`-dependent manual DMA
-source offset (minimal repro: a 2-step grid DMA-ing
-`sig_ref.at[pl.ds(fb*256, 260)]` into scratch; a 1-step grid of the
-identical kernel runs fine). Until that is fixed upstream, the
-production paths keep the XLA matmul-DFT (which is within ~2x of this
-kernel's modeled gain — the frame materialization it avoids is ~0.1 s
-per 8-song batch).
+Measured on TPU v5e via the axon tunnel (tmp/probe_pallas_slab.py,
+warm): 5-min song, 512/128: 3.6 ms vs 120.6 ms XLA (33x); 512/256:
+2.4 ms vs 36.3 ms (15x); max rel err vs the XLA matmul-DFT 2.6e-7.
+Under jax.vmap (the [B, T] batch-of-songs path) the kernel picks up a
+leading grid dimension automatically.
 """
 
 from __future__ import annotations
@@ -37,55 +35,46 @@ import math
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
-_FRAME_BLOCK = 256
-_BIN_BLOCK = 256
+_FBLOCK = 256  # frames per grid step
 
 
 def supported(window: int, hop: int) -> bool:
-    return window % _LANES == 0 and hop % _LANES == 0 and hop <= window
+    """Lane-aligned hop (slab rows = hops) and window a multiple of it."""
+    return (
+        hop % _LANES == 0
+        and window % hop == 0
+        # twiddles (2 x [W, ~W/2+pad] f32) must fit VMEM comfortably
+        and window <= 1024
+    )
 
 
-def _make_kernel(window: int, hop: int, fblock: int):
-    rpf = hop // _LANES  # slab rows per frame step
-    chunks = window // _LANES
-    slab_rows = fblock * rpf + chunks
+def _make_kernel(window: int, width: int, fblock: int, nb: int):
+    chunks = window // width
 
-    def kernel(sig_ref, cos_ref, sin_ref, win_ref, out_ref, slab, sem):
-        fb = pl.program_id(0)
-
-        @pl.when(pl.program_id(1) == 0)
-        def _():
-            start = fb * (fblock * rpf)  # in slab-row units
-            dma = pltpu.make_async_copy(
-                sig_ref.at[pl.ds(start, slab_rows)], slab, sem
-            )
-            dma.start()
-            dma.wait()
-
-        bb = cos_ref.shape[1]
-        re = jnp.zeros((fblock, bb), jnp.float32)
-        im = jnp.zeros((fblock, bb), jnp.float32)
+    def kernel(slab_ref, cos_ref, sin_ref, win_ref, out_ref):
+        re = jnp.zeros((fblock, nb), jnp.float32)
+        im = jnp.zeros((fblock, nb), jnp.float32)
         for c in range(chunks):
-            rows = slab[c : c + fblock * rpf : rpf, :]  # [fblock, 128]
-            # keep everything 2-D: 1-D VMEM vectors miscompile on TPU
-            piece = rows * win_ref[0:1, c * _LANES : (c + 1) * _LANES]
+            rows = slab_ref[0, c : c + fblock, :]  # [fblock, width]
+            piece = rows * win_ref[0:1, c * width : (c + 1) * width]
             dn = (((1,), (0,)), ((), ()))
             re += jax.lax.dot_general(
-                piece, cos_ref[c * _LANES : (c + 1) * _LANES, :],
+                piece, cos_ref[c * width : (c + 1) * width, :],
                 dimension_numbers=dn,
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             im += jax.lax.dot_general(
-                piece, sin_ref[c * _LANES : (c + 1) * _LANES, :],
+                piece, sin_ref[c * width : (c + 1) * width, :],
                 dimension_numbers=dn,
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
         out_ref[:, :] = jnp.sqrt(re * re + im * im)
 
-    return kernel, slab_rows
+    return kernel
 
 
 @functools.partial(
@@ -109,48 +98,42 @@ def pallas_frame_dft_mags(
     assert supported(window, hop), (window, hop)
     if n_bins is None:
         n_bins = window // 2 + 1
-    fblock, bblock = _FRAME_BLOCK, _BIN_BLOCK
-    nb_pad = -(-n_bins // bblock) * bblock
+    width = hop
+    chunks = window // width
+    fblock = _FBLOCK
     nf_pad = -(-n_frames // fblock) * fblock
-    rpf = hop // _LANES
+    nb_pad = -(-n_bins // _LANES) * _LANES
 
     # twiddles with integer-exact phase (see ops.dft)
     n = jax.lax.broadcasted_iota(jnp.int32, (window, nb_pad), 0)
     k = jax.lax.broadcasted_iota(jnp.int32, (window, nb_pad), 1)
-    phase = (n * k) % window
-    theta = phase.astype(jnp.float32) * (2.0 * math.pi / window)
+    theta = ((n * k) % window).astype(jnp.float32) * (2.0 * math.pi / window)
     cos_m = jnp.cos(theta)
     sin_m = -jnp.sin(theta)
 
-    need = nf_pad * hop + window
-    if signal.shape[-1] < need:
-        signal = jnp.pad(signal, (0, need - signal.shape[-1]))
-    else:
-        signal = signal[:need]
-    sig2d = signal.reshape(-1, _LANES)
+    need = (nf_pad + chunks - 1) * width
+    t = signal.shape[-1]
+    if t < need:
+        signal = jnp.pad(signal, (0, need - t))
+    sig2d = signal[:need].reshape(-1, width)
+    n_blocks = nf_pad // fblock
+    slab_rows = fblock + chunks - 1
+    slabs = jax.vmap(
+        lambda i: jax.lax.dynamic_slice(
+            sig2d, (i * fblock, jnp.int32(0)), (slab_rows, width)
+        )
+    )(jnp.arange(n_blocks, dtype=jnp.int32))
 
-    kernel, slab_rows = _make_kernel(window, hop, fblock)
-    grid = (nf_pad // fblock, nb_pad // bblock)
     out = pl.pallas_call(
-        kernel,
-        grid=grid,
+        _make_kernel(window, width, fblock, nb_pad),
+        grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # signal stays in HBM
-            pl.BlockSpec(
-                (window, bblock), lambda f, b: (0, b), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (window, bblock), lambda f, b: (0, b), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # hann window [1, W]
+            pl.BlockSpec((1, slab_rows, width), lambda f: (f, 0, 0)),
+            pl.BlockSpec((window, nb_pad), lambda f: (0, 0)),
+            pl.BlockSpec((window, nb_pad), lambda f: (0, 0)),
+            pl.BlockSpec((1, window), lambda f: (0, 0)),
         ],
-        out_specs=pl.BlockSpec(
-            (fblock, bblock), lambda f, b: (f, b), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec((fblock, nb_pad), lambda f: (f, 0)),
         out_shape=jax.ShapeDtypeStruct((nf_pad, nb_pad), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((slab_rows, _LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-    )(sig2d, cos_m, sin_m, hann_periodic(window).reshape(1, window))
+    )(slabs, cos_m, sin_m, hann_periodic(window).reshape(1, window))
     return out[:n_frames, :n_bins]

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from .dft import rdft_mags
 from .windows import (
+    frame_signal,
     frame_signal_reflect,
     hann_periodic,
     n_frames_stft,
@@ -95,6 +96,52 @@ def pvoc_mags_buggy(frames: jnp.ndarray) -> jnp.ndarray:
     half = w // 2
     mags = _windowed_mags(frames)  # [..., half+1]
     return jnp.concatenate([mags[..., : half - 1], mags[..., half:]], axis=-1)
+
+
+def _use_pallas() -> bool:
+    """Fused Pallas framing+DFT on real TPU (33x/15x vs the XLA path on
+    5-min songs, see ops/pallas_dft.py). BLISS_PALLAS=0 disables."""
+    if os.environ.get("BLISS_PALLAS") == "0":
+        return False
+    return jax.default_backend() == "tpu" and _use_matmul_dft()
+
+
+def framed_pvoc_mags(
+    signal: jnp.ndarray,
+    window: int,
+    hop: int,
+    offset: int,
+    n_frames: int,
+    buggy: bool = False,
+) -> jnp.ndarray:
+    """Magnitudes of hann-windowed strided frames, fusing the framing.
+
+    Frame f covers `signal[f*hop - offset, f*hop - offset + window)` with
+    zeros outside the signal (the aubio pvoc sliding-buffer semantics,
+    see ops.windows.frame_signal). `buggy=True` applies the 256-bin
+    Nyquist-in-bin-255 layout (pvoc_mags_buggy). On TPU this dispatches
+    to the fused Pallas kernel (framing never touches HBM); elsewhere it
+    frames + windows + transforms via the backend path.
+    """
+    from . import pallas_dft
+
+    if _use_pallas() and pallas_dft.supported(window, hop):
+        if offset:
+            signal = jnp.concatenate(
+                [jnp.zeros((offset,), signal.dtype), signal]
+            )
+        mags = pallas_dft.pallas_frame_dft_mags(
+            signal, window, hop, n_frames
+        )
+    else:
+        frames = frame_signal(signal, window, hop, offset, n_frames)
+        mags = _windowed_mags(frames)
+    if buggy:
+        half = window // 2
+        mags = jnp.concatenate(
+            [mags[..., : half - 1], mags[..., half:]], axis=-1
+        )
+    return mags
 
 
 def convolve(input_: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
