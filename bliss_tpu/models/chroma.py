@@ -219,8 +219,14 @@ def estimate_tuning(
     idxf = (v - (-0.5)) / resolution
     # Rust `as usize` truncates toward zero and saturates negatives at 0
     idx = jnp.clip(idxf.astype(jnp.int32), 0, n_bins - 1)
-    counts = jnp.zeros((n_bins,), jnp.int32).at[idx].add(
-        sel.astype(jnp.int32), mode="drop"
+    # compare-and-reduce histogram: a scatter-add over ~5M indices is
+    # pathologically slow on TPU; the [N, 100] equality mask reduces in
+    # one fused pass instead
+    iota = jnp.arange(n_bins, dtype=jnp.int32)
+    counts = jnp.sum(
+        (idx[:, None] == iota[None, :]) & sel[:, None],
+        axis=0,
+        dtype=jnp.int32,
     )
     max_index = jnp.argmax(counts)
     tuning = (-50.0 + (100.0 * resolution * max_index.astype(dtype))) / 100.0

@@ -18,6 +18,7 @@ happens in ops.spectral.
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -74,7 +75,82 @@ def rdft(frames: jnp.ndarray, n_bins: int | None = None):
     return _dot_compensated(frames, cos_m), _dot_compensated(frames, sin_m)
 
 
+#: Cooley-Tukey split for the big chroma window: one [W, W/2] matmul
+#: costs W^2 MACs/frame; the N1 x N2 decomposition costs
+#: W*(N1 + 4*N2)/2-ish — ~10x fewer FLOPs at W = 8192.
+_CT_N1 = 64
+
+
+def _use_ct(w: int) -> bool:
+    forced = os.environ.get("BLISS_DFT_CT")
+    if forced == "0":
+        return False
+    if forced == "1":
+        return True
+    return w >= 4096 and jax.default_backend() == "tpu"
+
+
+def _ct_twiddle(rows: int, cols: int, mod: int, dtype):
+    """(cos, sin) of 2*pi*(r*c mod mod)/mod — integer-exact phase."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    theta = ((r * c) % mod).astype(dtype) * (2.0 * math.pi / mod)
+    return jnp.cos(theta), jnp.sin(theta)
+
+
+def _dot(a, m):
+    return jax.lax.dot_general(
+        a, m,
+        dimension_numbers=(((a.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=a.dtype,
+    )
+
+
+def _rdft_mags_ct(frames: jnp.ndarray, n_bins: int) -> jnp.ndarray:
+    """|DFT| via the 2-stage Cooley-Tukey matmul decomposition.
+
+    W = N1*N2, n = N2*n1 + n2, k = k1 + N1*k2:
+      A[n2, k1] = sum_n1 x[N2*n1 + n2] W_N1^{n1 k1}   (real -> complex)
+      B[n2, k1] = A[n2, k1] * W_W^{n2 k1}             (twiddle)
+      X[k1, k2] = sum_n2 B[n2, k1] W_N2^{n2 k2}       (complex DFT)
+    Each stage keeps integer-exact phase; the shorter accumulations
+    (N1, then N2 terms) round no worse than the monolithic matmul.
+    """
+    w = frames.shape[-1]
+    n1 = _CT_N1
+    n2 = w // n1
+    dt = frames.dtype
+    x = frames.reshape(*frames.shape[:-1], n1, n2)
+
+    c1, s1 = _ct_twiddle(n1, n1, n1, dt)  # inner W_N1
+    tc, ts = _ct_twiddle(n2, n1, w, dt)   # twiddle W_W [n2, k1]
+    c2, s2 = _ct_twiddle(n2, n2, n2, dt)  # outer W_N2
+
+    # inner: contract n1 -> A[..., n2, k1]
+    xs = jnp.swapaxes(x, -1, -2)  # [..., n2, n1]
+    are = _dot(xs, c1)
+    aim = -_dot(xs, s1)
+    # twiddle: multiply by e^{-i 2pi n2 k1 / W}
+    bre = are * tc + aim * ts
+    bim = aim * tc - are * ts
+    # outer: contract n2 -> X[..., k1, k2]
+    bre = jnp.swapaxes(bre, -1, -2)  # [..., k1, n2]
+    bim = jnp.swapaxes(bim, -1, -2)
+    xre = _dot(bre, c2) + _dot(bim, s2)
+    xim = _dot(bim, c2) - _dot(bre, s2)
+    mags = jnp.sqrt(xre * xre + xim * xim)  # [..., k1, k2]
+    # linear bin k = k1 + N1*k2 -> order [..., k2, k1]
+    mags = jnp.swapaxes(mags, -1, -2).reshape(*frames.shape[:-1], w)
+    return mags[..., :n_bins]
+
+
 def rdft_mags(frames: jnp.ndarray, n_bins: int | None = None) -> jnp.ndarray:
     """|DFT| of `frames [..., W]` → `[..., n_bins]`."""
+    w = frames.shape[-1]
+    if n_bins is None:
+        n_bins = w // 2 + 1
+    if w % _CT_N1 == 0 and _use_ct(w):
+        return _rdft_mags_ct(frames, n_bins)
     re, im = rdft(frames, n_bins)
     return jnp.sqrt(re * re + im * im)

@@ -30,14 +30,21 @@ def masked_std(values: jnp.ndarray, mask: jnp.ndarray, axis=-1) -> jnp.ndarray:
     return jnp.sqrt(jnp.sum(d * d, axis=axis) / n)
 
 
-#: Threshold for switching quantiles to bitwise-bisection selection.
-#: In principle 32 masked counts beat a 38M-element sort (~0.45 s) by
-#: ~50x, but the axon backend executes each fori_loop reduce iteration
-#: ~1000x slower than roofline (measured ~200 ms per 190MB count), so
-#: the sort stays the default. `_kth_smallest_bisect` remains in use for
-#: the cross-shard median in parallel/longsong.py where a distributed
-#: sort isn't an option.
-_BISECT_THRESHOLD = 1 << 62
+#: Threshold for switching large-input quantiles to bitwise-bisection
+#: selection on TPU. Round 1 measured the *fori_loop* bisect running
+#: ~1000x off roofline on the axon backend and parked it; a statically
+#: UNROLLED 32-iteration bisect has no such pathology — measured on the
+#: chip (tmp/probe_median.py, [8, 4.76M] masked median, the chroma
+#: tuning-threshold shape): sort 139.9 ms, unrolled bisect 14.6 ms
+#: (9.6x), bit-identical results. CPU keeps the sort (fast there, and
+#: the golden-parity path). The fori variant remains for the
+#: cross-shard median in parallel/longsong.py where a distributed sort
+#: isn't an option.
+_BISECT_THRESHOLD = 1 << 20
+
+
+def _use_bisect(n: int) -> bool:
+    return n >= _BISECT_THRESHOLD and jax.default_backend() == "tpu"
 
 
 def _float_sort_key(x: jnp.ndarray) -> jnp.ndarray:
@@ -100,6 +107,31 @@ def _kth_smallest_bisect(values: jnp.ndarray, mask: jnp.ndarray, k):
     return _key_to_float(key, dtype)
 
 
+def _kth_smallest_bisect_unrolled(values: jnp.ndarray, mask: jnp.ndarray, k):
+    """`_kth_smallest_bisect` with the bisection statically unrolled:
+    on the axon TPU backend a fori_loop reduction runs ~1000x off
+    roofline while the identical unrolled program hits ~15 ms for 32
+    masked counts over 38M keys (see _BISECT_THRESHOLD note)."""
+    dtype = values.dtype
+    keys = _float_sort_key(values)
+    utype = keys.dtype
+    allones = ~jnp.asarray(0, utype)
+    keys = jnp.where(mask, keys, allones)
+    keys = jax.lax.optimization_barrier(keys)
+    bits = 64 if dtype == jnp.float64 else 32
+    one = jnp.asarray(1, utype)
+    two = jnp.asarray(2, utype)
+    lo = jnp.asarray(0, utype)
+    hi = allones - one
+    for _ in range(bits):
+        mid = lo + (hi - lo) // two
+        cnt = jnp.sum((keys <= mid) & mask, dtype=jnp.int32)
+        take_low = cnt >= k + 1
+        lo = jnp.where(take_low, lo, mid + one)
+        hi = jnp.where(take_low, mid, hi)
+    return _key_to_float(lo, dtype)
+
+
 def masked_quantile_midpoint(
     values: jnp.ndarray, mask: jnp.ndarray, q: float = 0.5
 ) -> jnp.ndarray:
@@ -114,13 +146,11 @@ def masked_quantile_midpoint(
     """
     n = jnp.sum(mask.astype(jnp.int32), axis=-1)
     pos = (n - 1).astype(jnp.float32) * q
-    if values.ndim == 1 and values.shape[-1] >= _BISECT_THRESHOLD:
+    if values.ndim == 1 and _use_bisect(values.shape[-1]):
         lo_k = jnp.maximum(jnp.floor(pos).astype(jnp.int32), 0)
         hi_k = jnp.maximum(jnp.ceil(pos).astype(jnp.int32), 0)
-        vlo = _kth_smallest_bisect(values, mask, lo_k)
-        vhi = jnp.where(
-            hi_k == lo_k, vlo, _kth_smallest_bisect(values, mask, hi_k)
-        )
+        vlo = _kth_smallest_bisect_unrolled(values, mask, lo_k)
+        vhi = _kth_smallest_bisect_unrolled(values, mask, hi_k)
         return (vlo + vhi) * jnp.asarray(0.5, values.dtype)
     big = jnp.asarray(jnp.inf, values.dtype)
     filled = jnp.where(mask, values, big)
