@@ -30,6 +30,7 @@ over [0, 206] (src/temporal.rs:66-85).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -440,11 +441,13 @@ def _checkstate(state: BeatState, xs: BlockInputs, rp, consts: _BTConstants):
         flagconst, phwv_c, jnp.where(use_ctx, phwv_ctx, ones2)
     )
 
-    # double very slow tempi until bp >= 25 (src/aubio.rs:1216-1218)
-    def dbl(b):
-        return b * 2.0
-
-    bp = jax.lax.while_loop(lambda b: (b > 0.0) & (b < 25.0), dbl, bp)
+    # double very slow tempi until bp >= 25 (src/aubio.rs:1216-1218).
+    # Statically unrolled: 32 conditional doublings (exact — the same
+    # multiply order as the loop) cover every bp ≥ 25·2⁻³² ≈ 6e-9; real
+    # peak positions are ≥ O(1), and a lax.while_loop's per-iteration
+    # sync would dominate the ~224-block tempo scan on TPU.
+    for _ in range(32):
+        bp = jnp.where((bp > 0.0) & (bp < 25.0), bp * 2.0, bp)
 
     return state._replace(
         gwv=gwv,
@@ -503,10 +506,12 @@ def _bt_do(state: BeatState, xs: BlockInputs, consts: _BTConstants):
         beat0 = bp - phase
         skip = (jnp.float32(step) - state.lastbeat - phase) < (-0.40 * bp)
         beat0 = jnp.where(skip, beat0 + bp, beat0)
-        # while beat + bp < 0: beat += bp
-        beat0 = jax.lax.while_loop(
-            lambda b: b + bp < 0.0, lambda b: b + bp, beat0
-        )
+        # while beat + bp < 0: beat += bp — statically unrolled: here
+        # bp >= 25 (post-doubling) and phase <= winlen+1 = 513, so at
+        # most ceil(513/25) = 21 additions; 24 conditional adds keep the
+        # exact repeated-addition float ordering without a while_loop.
+        for _ in range(24):
+            beat0 = jnp.where(beat0 + bp < 0.0, beat0 + bp, beat0)
 
         # emit beats: first if beat >= 0, then while beat + bp <= step
         def emit(carry, _):
@@ -526,6 +531,7 @@ def _bt_do(state: BeatState, xs: BlockInputs, consts: _BTConstants):
             (beat0, jnp.int32(0), jnp.bool_(True)),
             None,
             length=_MAX_BEATS,
+            unroll=_MAX_BEATS,
         )
         # reference sets lastbeat to the final `beat` value whether or not
         # anything was emitted (src/aubio.rs:1089)
@@ -625,6 +631,7 @@ def tempo_feature(signal: jnp.ndarray, length, sample_rate: int = 22050):
         block,
         state0,
         (block_inputs, jnp.arange(n_blocks, dtype=jnp.int32)),
+        unroll=int(os.environ.get("BLISS_TEMPO_UNROLL", "1")),
     )
     bpms = bpms.ravel()
     fires = fires.ravel()
