@@ -194,6 +194,41 @@ def pip_track(spectrum: jnp.ndarray, frame_mask: jnp.ndarray, n_fft: int):
     return pitches, mags, mask
 
 
+def pitch_tuning(
+    frequencies: jnp.ndarray,
+    mask: jnp.ndarray = None,
+    resolution: float = 0.01,
+    bins_per_octave: int = 12,
+):
+    """Histogram-mode tuning offset of (masked) frequencies in
+    [-0.5, 0.5) (src/chroma.rs:334-359): non-positive frequencies are
+    dropped, and an empty selection yields 0.0."""
+    dtype = frequencies.dtype
+    if mask is None:
+        mask = jnp.ones(frequencies.shape, bool)
+    sel = mask & (frequencies > 0.0)
+
+    octs = hz_to_octs(jnp.maximum(frequencies, jnp.finfo(dtype).tiny), 0.0)
+    v = jnp.mod(bins_per_octave * octs, 1.0)
+    v = jnp.where(v >= 0.5, v - 1.0, v)
+    n_bins = int(round(1.0 / resolution))
+    idxf = (v - (-0.5)) / resolution
+    # Rust `as usize` truncates toward zero and saturates negatives at 0
+    idx = jnp.clip(idxf.astype(jnp.int32), 0, n_bins - 1)
+    # compare-and-reduce histogram: a scatter-add over ~5M indices is
+    # pathologically slow on TPU; the [N, 100] equality mask reduces in
+    # one fused pass instead
+    iota = jnp.arange(n_bins, dtype=jnp.int32)
+    counts = jnp.sum(
+        (idx[:, None] == iota[None, :]) & sel[:, None],
+        axis=0,
+        dtype=jnp.int32,
+    )
+    max_index = jnp.argmax(counts)
+    tuning = (-50.0 + (100.0 * resolution * max_index.astype(dtype))) / 100.0
+    return jnp.where(jnp.any(sel), tuning, jnp.asarray(0.0, dtype))
+
+
 def estimate_tuning(
     spectrum: jnp.ndarray,
     frame_mask: jnp.ndarray,
@@ -212,24 +247,7 @@ def estimate_tuning(
     threshold = masked_quantile_midpoint(mags, pos_mask, 0.5)
     sel = pos_mask & (mags >= threshold)
 
-    octs = hz_to_octs(jnp.maximum(pitches, jnp.finfo(dtype).tiny), 0.0)
-    v = jnp.mod(bins_per_octave * octs, 1.0)
-    v = jnp.where(v >= 0.5, v - 1.0, v)
-    n_bins = int(round(1.0 / resolution))
-    idxf = (v - (-0.5)) / resolution
-    # Rust `as usize` truncates toward zero and saturates negatives at 0
-    idx = jnp.clip(idxf.astype(jnp.int32), 0, n_bins - 1)
-    # compare-and-reduce histogram: a scatter-add over ~5M indices is
-    # pathologically slow on TPU; the [N, 100] equality mask reduces in
-    # one fused pass instead
-    iota = jnp.arange(n_bins, dtype=jnp.int32)
-    counts = jnp.sum(
-        (idx[:, None] == iota[None, :]) & sel[:, None],
-        axis=0,
-        dtype=jnp.int32,
-    )
-    max_index = jnp.argmax(counts)
-    tuning = (-50.0 + (100.0 * resolution * max_index.astype(dtype))) / 100.0
+    tuning = pitch_tuning(pitches, sel, resolution, bins_per_octave)
     any_peak = jnp.any(peak_mask)
     return jnp.where(any_peak, tuning, jnp.asarray(0.0, dtype))
 

@@ -108,6 +108,11 @@ class Analysis:
         snapshots :711-735): named fields then the raw vector in a
         `/* [...] */` trailer, floats in Rust's shortest-roundtrip f32
         notation."""
+        raw_only = ", ".join(_f32_debug(x) for x in self._vec)
+        if len(self._vec) != self.features_version.feature_count:
+            # mismatched field count: version is unprintable
+            # (src/song/mod.rs:316-322, test_debug_analysis_wrong_number_fields)
+            return f"Analysis (Version ?) /* [{raw_only}] */"
         idx_enum = (
             AnalysisIndex
             if self.features_version == FeaturesVersion.VERSION2

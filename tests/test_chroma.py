@@ -198,3 +198,18 @@ def test_edge_cases(data_dir):
     song = FFmpegDecoder.decode(data_dir / "white_noise.mp3")
     out = _full_chroma(song.sample_array)
     np.testing.assert_allclose(out[:10], expected_noise, atol=1e-7)
+
+
+def test_pitch_tuning(data_dir):
+    """src/chroma.rs test_pitch_tuning: histogram mode of the
+    pitch-tuning.npy frequencies is -0.1."""
+    pitch = np.load(data_dir / "pitch-tuning.npy")
+    out = C.pitch_tuning(jnp.asarray(pitch), None, 0.05, 12)
+    assert float(out) == pytest.approx(-0.1, abs=1e-12)
+
+
+def test_pitch_tuning_no_frequencies():
+    """src/chroma.rs test_pitch_tuning_no_frequencies: empty input
+    yields 0.0."""
+    out = C.pitch_tuning(jnp.asarray(np.array([], np.float64)), None, 0.05, 12)
+    assert float(out) == 0.0

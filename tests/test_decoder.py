@@ -76,3 +76,71 @@ def test_parse_track_number():
     assert _parse_track_number("06/24") == 6
     assert _parse_track_number("02test/05") is None
     assert _parse_track_number(None) is None
+
+
+def test_decode_capacity_fix_ogg(data_dir):
+    """src/song/decoder/ffmpeg.rs test_decode_right_capacity_vec: the
+    capacity_fix.ogg fixture decodes fully (the Rust Vec-capacity
+    assertions are allocation-strategy specific; here we assert the
+    decoded length is sane for the ~10s file)."""
+    song = FFmpegDecoder.decode(data_dir / "capacity_fix.ogg")
+    n = np.asarray(song.sample_array).shape[0]
+    assert n > 5 * 22050
+    assert abs(n / 22050 - song.duration) < 1.0
+
+
+def test_pre_analyzed_song_to_song_empty_fails():
+    """src/song/decoder/ffmpeg.rs test_try_from: converting a default
+    (sample-less) PreAnalyzedSong into a Song fails."""
+    from bliss_tpu.errors import AnalysisError
+    from bliss_tpu.io.decoder import PreAnalyzedSong
+
+    with pytest.raises(AnalysisError):
+        PreAnalyzedSong().to_song()
+
+
+def test_analyze_paths_mixed_results(data_dir):
+    """src/song/decoder/ffmpeg.rs test_analyze_paths: a nonexistent path
+    yields an error, a real song yields a Song."""
+    from bliss_tpu.song import Song
+
+    results = dict(
+        (str(p), r)
+        for p, r in FFmpegDecoder.analyze_paths(
+            [data_dir / "nonexistent", data_dir / "piano.flac"]
+        )
+    )
+    assert not isinstance(results[str(data_dir / "nonexistent")], Song)
+    assert isinstance(results[str(data_dir / "piano.flac")], Song)
+
+
+def test_analyze_paths_with_cores(data_dir):
+    """src/song/decoder/ffmpeg.rs test_analyze_paths_with_cores: a core
+    count far above the machine's works, and a nonexistent CUE errors."""
+    from bliss_tpu.song import AnalysisOptions, Song
+
+    opts = AnalysisOptions(number_cores=2**62)
+    results = dict(
+        (str(p), r)
+        for p, r in FFmpegDecoder.analyze_paths_with_options(
+            [
+                data_dir / "nonexistent",
+                data_dir / "piano.flac",
+                data_dir / "nonexistent.cue",
+            ],
+            opts,
+        )
+    )
+    assert isinstance(results[str(data_dir / "piano.flac")], Song)
+    assert not isinstance(results[str(data_dir / "nonexistent")], Song)
+    assert not isinstance(results[str(data_dir / "nonexistent.cue")], Song)
+
+
+def test_analyze_paths_empty(data_dir):
+    """src/song/decoder/ffmpeg.rs test_analyze_paths_with_cores_empty_paths."""
+    from bliss_tpu.song import AnalysisOptions
+
+    assert (
+        list(FFmpegDecoder.analyze_paths_with_options([], AnalysisOptions()))
+        == []
+    )

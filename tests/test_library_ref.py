@@ -383,3 +383,132 @@ def test_library_new_default_write(tmp_path):
         ),
         np.eye(NUMBER_FEATURES, dtype=np.float32),
     )
+
+
+# --- extra_info analysis/update drivers (src/library.rs:2162-2566) ---------
+
+
+class NoiseDecoder(Decoder):
+    """Succeeds with 1s of deterministic noise for real-looking paths;
+    fails for /path/to/* ghosts and non-existing entries — mirroring the
+    reference tests' mix of real fixtures and dead DB paths."""
+
+    @classmethod
+    def decode(cls, path):
+        import numpy as np
+
+        from bliss_tpu.errors import DecodingError
+
+        s = str(path)
+        if s.startswith("/path/to/") or "non-existing" in s:
+            raise DecodingError(f"while opening format for file '{s}'")
+        rng = np.random.default_rng(abs(hash(s)) % 2**32)
+        return PreAnalyzedSong(
+            path=pathlib.Path(path),
+            duration=1.0,
+            sample_array=(rng.normal(size=22050) * 0.1).astype(np.float32),
+        )
+
+
+def _get_song_analyzed(library, path):
+    row = library.sqlite_conn.execute(
+        "select analyzed from song where path = ?", (path,)
+    ).fetchone()
+    return None if row is None else bool(row[0])
+
+
+def test_update_extra_info(ref_library):
+    """src/library.rs test_update_extra_info: per-path extra info is
+    stored; the old-version song4001 is re-attempted (and fails here),
+    and a non-existing path lands in the failed-songs ledger."""
+    ref_library.decoder_cls = NoiseDecoder
+    assert _get_song_analyzed(ref_library, "/path/to/song4001") is True
+
+    paths = [
+        ("/songs/a.flac", True),
+        ("/songs/b.flac", False),
+        ("/path/to/song4001", False),
+        ("non-existing", False),
+    ]
+    ref_library.update_library_extra_info(paths, True, False)
+
+    for path, expected_extra in paths[:2]:
+        got = ref_library.song_from_path(path)
+        assert got.extra_info is expected_extra
+    # the old-version row was wiped and re-attempted: now a failed song
+    assert _get_song_analyzed(ref_library, "/path/to/song4001") in (
+        None,
+        False,
+    )
+    failed = {str(f.song_path) for f in ref_library.get_failed_songs()}
+    assert {"/path/to/song4001", "non-existing"} <= failed
+
+
+def test_update_convert_extra_info(ref_library):
+    """src/library.rs test_update_convert_extra_info: the converter maps
+    the raw extra through (song, library)-aware logic before storage."""
+    ref_library.decoder_cls = NoiseDecoder
+    ref_library.update_library_convert_extra_info(
+        [("/songs/a.flac", 7)],
+        False,
+        False,
+        lambda extra, song, lib: {
+            "n": extra,
+            "path": str(song.path),
+            "lib": lib is ref_library,
+        },
+        ref_library.config.analysis_options,
+    )
+    got = ref_library.song_from_path("/songs/a.flac")
+    assert got.extra_info == {"n": 7, "path": "/songs/a.flac", "lib": True}
+
+
+def test_update_convert_extra_info_do_not_delete(ref_library):
+    """src/library.rs test_update_convert_extra_info_do_not_delete:
+    delete_everything_else=False keeps unrelated analyzed songs."""
+    ref_library.decoder_cls = NoiseDecoder
+    before = len(ref_library.songs_from_library())
+    ref_library.update_library_convert_extra_info(
+        [("/songs/new.flac", None)],
+        False,
+        False,
+        lambda extra, song, lib: extra,
+        ref_library.config.analysis_options,
+    )
+    songs = ref_library.songs_from_library()
+    assert len(songs) == before + 1
+    assert "/path/to/song1001" in {str(s.bliss_song.path) for s in songs}
+
+
+def test_analyze_paths_extra_info(tmp_path):
+    """src/library.rs test_analyze_paths_extra_info: analysis stores the
+    given extra info verbatim; failures are ledgered."""
+    config = BaseConfig(
+        config_path=tmp_path / "config.json",
+        database_path=tmp_path / "bliss.db",
+    )
+    library = Library(config, NoiseDecoder)
+    library.analyze_paths_extra_info(
+        [("/songs/a.flac", {"mood": "calm"}), ("non-existing", None)], False
+    )
+    got = library.song_from_path("/songs/a.flac")
+    assert got.extra_info == {"mood": "calm"}
+    assert [str(f.song_path) for f in library.get_failed_songs()] == [
+        "non-existing"
+    ]
+
+
+def test_analyze_paths_convert_extra_info(tmp_path):
+    """src/library.rs test_analyze_paths_convert_extra_info."""
+    config = BaseConfig(
+        config_path=tmp_path / "config.json",
+        database_path=tmp_path / "bliss.db",
+    )
+    library = Library(config, NoiseDecoder)
+    library.analyze_paths_convert_extra_info(
+        [("/songs/a.flac", "x")],
+        False,
+        lambda extra, song, lib: extra * 2,
+        library.config.analysis_options,
+    )
+    assert library.song_from_path("/songs/a.flac").extra_info == "xx"

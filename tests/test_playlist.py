@@ -153,3 +153,113 @@ def test_batched_matches_scalar_metrics():
         )
     expected = sorted(pool, key=dist)
     assert [str(s.path) for s in ordered] == [str(s.path) for s in expected]
+
+
+# --- ports of the reference's remaining playlist test corpus ---------------
+
+
+def test_variance_based_weight_matrix_stable_vs_variable():
+    """src/playlist.rs test_variance_based_weight_matrix_stable_vs_variable:
+    zero-variance dims get the biggest weights; the matrix is diagonal."""
+    m = variance_based_weight_matrix(
+        [
+            np.array([1.0, 0.0, 1.0], np.float32),
+            np.array([1.0, 100.0, 1.0], np.float32),
+            np.array([1.0, 200.0, 1.0], np.float32),
+        ]
+    )
+    assert m.shape == (3, 3)
+    assert m[0, 0] > m[1, 1] and m[2, 2] > m[1, 1]
+    off = m[~np.eye(3, dtype=bool)]
+    np.testing.assert_array_equal(off, 0.0)
+
+
+def test_variance_based_weight_matrix_weights_sum():
+    """src/playlist.rs ..._weights_sum: diagonal sums to n."""
+    m = variance_based_weight_matrix(
+        [
+            np.array([1.0, 0.0, 1.0], np.float32),
+            np.array([1.0, 100.0, 1.0], np.float32),
+            np.array([1.0, 200.0, 1.0], np.float32),
+        ]
+    )
+    assert abs(np.trace(m) - 3.0) < 1e-4
+
+
+def test_variance_based_weight_matrix_identical_seeds():
+    """src/playlist.rs ..._identical_seeds: all weights normalize to 1."""
+    s = np.array([1.0, 2.0, 3.0], np.float32)
+    m = variance_based_weight_matrix([s, s.copy(), s.copy()])
+    np.testing.assert_allclose(np.diag(m), 1.0, atol=1e-4)
+
+
+def test_variance_based_weight_matrix_two_seeds_minimum():
+    """src/playlist.rs ..._two_seeds_minimum."""
+    m = variance_based_weight_matrix(
+        [np.array([0.0, 50.0], np.float32), np.array([0.0, 150.0], np.float32)]
+    )
+    assert m.shape == (2, 2)
+    assert m[0, 0] > m[1, 1]
+
+
+def test_variance_based_weight_matrix_mismatched_dimensions():
+    """src/playlist.rs ..._mismatched_dimensions: exact error message."""
+    with pytest.raises(
+        ProviderError, match="all seed feature vectors must have the same"
+    ):
+        variance_based_weight_matrix(
+            [
+                np.array([1.0, 2.0, 3.0], np.float32),
+                np.array([1.0, 2.0], np.float32),
+            ]
+        )
+
+
+def test_variance_based_weight_matrix_empty_feature_vectors():
+    """src/playlist.rs ..._empty_feature_vectors: exact error message."""
+    with pytest.raises(
+        ProviderError, match="seed feature vectors must not be empty"
+    ):
+        variance_based_weight_matrix(
+            [np.array([], np.float32), np.array([], np.float32)]
+        )
+
+
+def test_mahalanobis_distance_with_songs():
+    """src/playlist.rs test_mahalanobis_distance_with_songs: a weight
+    matrix keeping only feature 0 reorders the playlist accordingly."""
+    first = _song("path-to-first", [1.0] * 23)
+    second = _song(
+        "path-to-second", [1.5, 5.0, 6.0, 5.0, 6.0, 6.0] + [1.0] * 17
+    )
+    third = _song("path-to-third", [5.0] + [1.0] * 22)
+    m = np.zeros((23, 23), np.float32)
+    m[0, 0] = 1.0
+    distance = mahalanobis_distance_builder(m)
+    playlist = closest_to_songs([first], [third, second], distance)
+    assert [str(s.path) for s in playlist] == [
+        "path-to-second",
+        "path-to-third",
+    ]
+
+
+def test_forest_options_musical_ground_truth(data_dir):
+    """src/playlist.rs test_forest_options: a forest trained on Mozart's
+    piano concerto no. 19 ranks all five Kind Of Blue tracks last among
+    the 11 real-music analyses (vectors extracted verbatim from the
+    reference test, src/playlist.rs:1266-1661)."""
+    data = np.load(data_dir / "forest_options_songs.npz")
+    mozart19 = [
+        _song(f"mozart19-{i}", v) for i, v in enumerate(data["mozart_piano_19"])
+    ]
+    kob = [_song(f"kob-{i}", v) for i, v in enumerate(data["kind_of_blue"])]
+    mozart23 = [
+        _song(f"mozart23-{i}", v) for i, v in enumerate(data["mozart_piano_23"])
+    ]
+    songs = mozart19 + kob + mozart23
+    opts = ForestOptions(
+        n_trees=1000, sample_size=200, max_tree_depth=None, extension_level=10
+    )
+    playlist = closest_to_songs(mozart19, songs, opts)
+    tail = {str(s.path) for s in playlist[-5:]}
+    assert tail == {f"kob-{i}" for i in range(5)}

@@ -1,6 +1,7 @@
 """End-to-end Song/Analysis tests vs the golden 23-dim vector
 (src/song/mod.rs:524-843)."""
 
+import pathlib
 import numpy as np
 import pytest
 
@@ -193,3 +194,51 @@ def test_analysis_padding_invariant(decoded_s16_mono):
         buf[:n] = decoded_s16_mono
         outs.append(np.asarray(analyze_samples(jnp.asarray(buf), n)))
     np.testing.assert_allclose(outs[0], outs[1], atol=2e-6)
+
+
+def test_song_distance():
+    """src/song/mod.rs test_song_distance: Song-level distance delegates
+    to the version's default metric (sqrt(20) = 4.472136)."""
+    n = FeaturesVersion.VERSION1.feature_count
+    a = Song(
+        path=pathlib.Path("a"),
+        analysis=Analysis(np.zeros(n, np.float32), FeaturesVersion.VERSION1),
+    )
+    b = Song(
+        path=pathlib.Path("b"),
+        analysis=Analysis(np.ones(n, np.float32), FeaturesVersion.VERSION1),
+    )
+    assert abs(a.distance(b) - 4.472136) < 1e-6
+
+
+def test_song_distance_mismatched_versions():
+    """src/song/mod.rs test_song_distance_mismatched_versions."""
+    a = Song(
+        path=pathlib.Path("a"),
+        analysis=Analysis(
+            np.zeros(FeaturesVersion.VERSION1.feature_count, np.float32),
+            FeaturesVersion.VERSION1,
+        ),
+    )
+    b = Song(
+        path=pathlib.Path("b"),
+        analysis=Analysis(
+            np.zeros(FeaturesVersion.VERSION2.feature_count, np.float32),
+            FeaturesVersion.VERSION2,
+        ),
+    )
+    with pytest.raises(ProviderError, match="Mismatched features version"):
+        a.distance(b)
+
+
+def test_debug_analysis_wrong_number_fields():
+    """src/song/mod.rs test_debug_analysis_wrong_number_fields: a
+    mismatched field count Debug-formats with 'Version ?' and raw values
+    only."""
+    a = Analysis.__new__(Analysis)
+    a._vec = np.zeros(10, np.float32)
+    a.features_version = FeaturesVersion.VERSION1
+    assert repr(a) == (
+        "Analysis (Version ?) /* [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, "
+        "0.0, 0.0] */"
+    )
