@@ -41,7 +41,9 @@ def test_tpu_golden_drift(data_dir):
     feats = build_analyzer(2)(song.sample_array)
     err = np.abs(feats - np.asarray(GOLDEN_V2))
     assert np.isfinite(feats).all()
-    np.testing.assert_array_less(err, 1e-4)
+    # BASELINE contract is 1e-4; assert 2e-5 (measured 4.2e-6, 5x margin)
+    # so precision regressions are caught well inside the contract
+    np.testing.assert_array_less(err, 2e-5)
 
 
 def test_tpu_golden_drift_batched_wire(data_dir):
@@ -55,4 +57,5 @@ def test_tpu_golden_drift_batched_wire(data_dir):
         )
     ).values()
     err = np.abs(song.analysis.as_arr1() - np.asarray(GOLDEN_V2, np.float32))
-    np.testing.assert_array_less(err, 1e-4)
+    # straight-s16 source: the i16b wire is bit-exact, same bound applies
+    np.testing.assert_array_less(err, 2e-5)
