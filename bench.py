@@ -32,7 +32,10 @@ def main():
 
     jax.config.update(
         "jax_compilation_cache_dir",
-        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/bliss_jax_cache"),
+        os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            f"/tmp/bliss_jax_cache_{os.getuid()}",
+        ),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

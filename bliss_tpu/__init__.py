@@ -27,11 +27,12 @@ def _enable_persistent_compile_cache() -> None:
         import jax
 
         if jax.config.jax_compilation_cache_dir is None:
+            # per-user default path: a world-shared /tmp dir would be
+            # owned by whoever ran first and unwritable for everyone else
+            default = f"/tmp/bliss_jax_cache_{_os.getuid()}"
             jax.config.update(
                 "jax_compilation_cache_dir",
-                _os.environ.get(
-                    "BLISS_JAX_CACHE_DIR", "/tmp/bliss_jax_cache"
-                ),
+                _os.environ.get("BLISS_JAX_CACHE_DIR", default),
             )
             jax.config.update(
                 "jax_persistent_cache_min_compile_time_secs", 1.0

@@ -78,10 +78,12 @@ def _quantize_i16b(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Block-floating-point: int16 mantissas + int8 exponent per block.
 
-    Per 2048-sample block with peak p: e = ceil(log2(p)), scale 2^e, and
-    q = round(x·2^(15-e)). Reconstruction q·2^(e-15) is exact in f32, so
-    the only error is the rounding, ≤ 2^(e-16) ≤ blockpeak·2^-15 — and
-    straight-s16 content (x = k/2^15, e ≤ 0) round-trips bit-exactly.
+    Per 2048-sample block with peak p: e = ceil(log2(p)) (+1 when the
+    positive extreme would round to the unrepresentable +32768), scale
+    2^e, and q = round(x·2^(15-e)). Reconstruction q·2^(e-15) is exact
+    in f32, so the only error is the rounding, ≤ blockpeak·2^-15
+    (·2^-14 on bumped blocks) — and straight-s16 content (x = k/2^15)
+    round-trips bit-exactly, including power-of-two peaks.
     """
     n = samples.shape[0]
     i16 = np.zeros(padded_len, np.int16)
@@ -93,6 +95,13 @@ def _quantize_i16b(
     # e ∈ [-100, 100] keeps both 2^(15-e) and 2^(e-15) normal in f32
     # (zero/denormal blocks quantize to all-zero mantissas either way)
     e = np.ceil(np.log2(np.maximum(peak, 2.0**-100))).astype(np.int32)
+    np.clip(e, -100, 100, out=e)
+    # a POSITIVE sample in (32767.5, 32768]·2^(e-15) would round to
+    # +32768 (unrepresentable; -32768 is fine) — e.g. a straight-s16
+    # block whose peak is exactly +2^j. Bump e for those blocks instead
+    # of clipping, which would silently break the bit-exact s16 claim.
+    qpeak = np.round(xb.max(axis=1) * np.exp2(15.0 - e).astype(np.float32))
+    e = np.where(qpeak > 32767.0, e + 1, e)
     np.clip(e, -100, 100, out=e)
     q = np.round(xb * np.exp2(15.0 - e).astype(np.float32)[:, None])
     np.clip(q, -32768, 32767, out=q)

@@ -242,11 +242,15 @@ def _parse_side_info(bits: _Bits, h: _Header, nch: int):
                 g.table_select = (bits.read(5), bits.read(5), 0)
                 g.subblock_gain = (bits.read(3), bits.read(3), bits.read(3))
                 # huffman region split (lines): 36 for short, 36/54 for
-                # start/stop depending on MPEG1 vs LSF rates
+                # start/stop depending on MPEG1 vs LSF rates — except the
+                # 8 kHz MPEG-2.5 band table (rate_index 8), whose wider
+                # bands make it 72/108 (ffmpeg mpegaudiodec region_size)
                 if g.block_type == 2:
+                    g.region0 = 36 if h.rate_index != 8 else 72
+                elif h.rate_index <= 2:
                     g.region0 = 36
                 else:
-                    g.region0 = 36 if h.rate_index <= 2 else 54
+                    g.region0 = 54 if h.rate_index != 8 else 108
                 g.region1 = 576
             else:
                 g.block_type = 0
@@ -732,9 +736,7 @@ def _parse_id3v1(data: bytes) -> Dict[str, str]:
 def _parse_xing(body: bytes, h: _Header, nch: int) -> Optional[Tuple[int, int]]:
     """Returns (encoder_delay, encoder_padding) if a LAME tag exists, or
     (-1, -1) for a plain Xing/Info frame (still skipped as audio)."""
-    # Xing header offset after side info
-    side = (9 if nch == 1 else 17) if not h.lsf else (17 if nch == 1 else 32)
-    # note: MPEG1 side info is 17/32 bytes, LSF is 9/17
+    # Xing header offset after side info: MPEG1 is 17/32 bytes, LSF 9/17
     side = (17 if nch == 1 else 32) if not h.lsf else (9 if nch == 1 else 17)
     off = 4 + (2 if h.crc else 0) + side
     tag = body[off : off + 4]
@@ -827,9 +829,7 @@ def _read_mp3_inner(data: bytes, path) -> Tuple[np.ndarray, int, Dict[str, str],
             pos += h.frame_bytes
             continue
         try:
-            consumed = _decode_frame(
-                frame, h, nch, reservoir, gran_blocks, first
-            )
+            consumed = _decode_frame(frame, h, nch, reservoir, gran_blocks)
         except _Corrupt:
             failures += 1
             if failures > MAX_DECODE_RETRIES:
@@ -886,7 +886,6 @@ def _decode_frame(
     nch: int,
     reservoir: bytes,
     gran_blocks: List[np.ndarray],
-    first: bool,
 ) -> bytes:
     """Decode one frame's granules into gran_blocks; returns the updated
     bit reservoir (this frame's main data appended)."""

@@ -340,6 +340,10 @@ class _Codebook:
         value_bits = bits.read(4) + 1
         sequence_p = bits.flag()
         if lt == 1:
+            if self.dim <= 0:
+                # (lv+1)**0 == 1 <= entries forever: a dim-0 lookup-1
+                # codebook is malformed, not an infinite loop
+                raise _Corrupt("lookup type 1 with zero dimensions")
             lv = 0
             while (lv + 1) ** self.dim <= self.entries:
                 lv += 1
@@ -854,20 +858,27 @@ def _decode_packet_spectra(
         mode_idx = bits.read(_ilog(len(setup.modes) - 1))
     except _EOP:
         return None
-    blockflag, mapping_idx = setup.modes[mode_idx]
-    mapping = setup.mappings[mapping_idx]
+    try:
+        blockflag, mapping_idx = setup.modes[mode_idx]
+        mapping = setup.mappings[mapping_idx]
+    except IndexError:
+        # mode fields are ilog-width, so out-of-range values are
+        # representable (and bit flips happen): corrupt packet, not a crash
+        raise _Corrupt("packet referenced out-of-range mode")
     n = setup.bs[1] if blockflag else setup.bs[0]
     n2 = n // 2
     prev_flag = next_flag = 1
     ch = setup.channels
     floors: List[Optional[np.ndarray]] = [None] * ch
     residue_out = np.zeros((ch, n2), np.float32)
+    # defined before the try: an _EOP on the window flags must leave the
+    # channels silent (spec 1.3.2 partial data), not hit a NameError below
+    posts: List[Optional[np.ndarray]] = [None] * ch
     try:
         if blockflag:
             prev_flag = bits.flag()
             next_flag = bits.flag()
         # floor decode per channel
-        posts = [None] * ch
         for c in range(ch):
             floor = setup.floors[mapping.submap_floor[mapping.mux[c]]]
             posts[c] = floor.decode(bits, setup.codebooks)

@@ -24,6 +24,7 @@ from __future__ import annotations
 import functools
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -215,15 +216,20 @@ def pitch_tuning(
     idxf = (v - (-0.5)) / resolution
     # Rust `as usize` truncates toward zero and saturates negatives at 0
     idx = jnp.clip(idxf.astype(jnp.int32), 0, n_bins - 1)
-    # compare-and-reduce histogram: a scatter-add over ~5M indices is
-    # pathologically slow on TPU; the [N, 100] equality mask reduces in
-    # one fused pass instead
-    iota = jnp.arange(n_bins, dtype=jnp.int32)
-    counts = jnp.sum(
-        (idx[:, None] == iota[None, :]) & sel[:, None],
-        axis=0,
-        dtype=jnp.int32,
-    )
+    if jax.default_backend() == "tpu":
+        # compare-and-reduce histogram: a scatter-add over ~5M indices is
+        # pathologically slow on TPU; the [N, 100] equality mask reduces
+        # in one fused pass instead (bit-identical integer counts)
+        iota = jnp.arange(n_bins, dtype=jnp.int32)
+        counts = jnp.sum(
+            (idx[:, None] == iota[None, :]) & sel[:, None],
+            axis=0,
+            dtype=jnp.int32,
+        )
+    else:
+        counts = jnp.zeros((n_bins,), jnp.int32).at[idx].add(
+            sel.astype(jnp.int32), mode="drop"
+        )
     max_index = jnp.argmax(counts)
     tuning = (-50.0 + (100.0 * resolution * max_index.astype(dtype))) / 100.0
     return jnp.where(jnp.any(sel), tuning, jnp.asarray(0.0, dtype))

@@ -140,3 +140,36 @@ def test_batched_version1(data_dir):
     np.testing.assert_allclose(
         song.analysis.as_arr1(), single.analysis.as_arr1(), atol=5e-5
     )
+
+
+def test_i16b_power_of_two_peak_exact():
+    """A block whose positive peak is an exact power of two must still
+    round-trip bit-exactly: the naive e=ceil(log2(p)) scale would map the
+    peak to +32768 and clip it to 32767 (code-review r2 finding)."""
+    from bliss_tpu.io.batch import WIRE_BLOCK, _quantize_i16b
+
+    def reconstruct(i16, e8):
+        scale = np.exp2(e8.astype(np.float32) - 15.0)
+        return (
+            i16.astype(np.float32).reshape(-1, WIRE_BLOCK) * scale[:, None]
+        ).reshape(-1)
+
+    rng = np.random.default_rng(1)
+    padded = 4 * WIRE_BLOCK
+    x = (rng.integers(-16384, 16384, size=padded) / 32768.0).astype(
+        np.float32
+    )
+    # plant positive power-of-two peaks in each block, incl. +0.5 = 2^-1
+    for b, peak in enumerate([16384, 8192, 4096, 16384]):
+        x[b * WIRE_BLOCK + 7] = np.float32(peak / 32768.0)
+        x[b * WIRE_BLOCK + 11] = np.float32(-peak / 32768.0)
+    rec = reconstruct(*_quantize_i16b(x, padded))
+    np.testing.assert_array_equal(rec, x)
+
+    # a full-scale [-1, 1) block (peak -1.0 = int16 min) stays exact too
+    y = (rng.integers(-32768, 32768, size=padded) / 32768.0).astype(
+        np.float32
+    )
+    y[5] = np.float32(-1.0)
+    rec = reconstruct(*_quantize_i16b(y, padded))
+    np.testing.assert_array_equal(rec, y)
