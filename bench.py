@@ -69,8 +69,12 @@ def main():
     # outside the framework. Run at least 3 passes and keep sampling
     # within a wall-clock budget so one bad phase window can't poison
     # the measurement.
+    # Sample the whole budget: the tunnel's bandwidth phases change on a
+    # minutes timescale, so more passes spread over ~4 min materially
+    # raise the chance of measuring a clean window (the pass cap is a
+    # runaway guard, not the sampling driver).
     budget_s = float(os.environ.get("BLISS_BENCH_BUDGET_S", "240"))
-    max_passes = int(os.environ.get("BLISS_BENCH_PASSES", "8"))
+    max_passes = int(os.environ.get("BLISS_BENCH_PASSES", "48"))
     elapsed = None
     t_begin = time.perf_counter()
     for i in range(max_passes):

@@ -107,11 +107,19 @@ def _kth_smallest_bisect(values: jnp.ndarray, mask: jnp.ndarray, k):
     return _key_to_float(key, dtype)
 
 
-def _kth_smallest_bisect_unrolled(values: jnp.ndarray, mask: jnp.ndarray, k):
-    """`_kth_smallest_bisect` with the bisection statically unrolled:
-    on the axon TPU backend a fori_loop reduction runs ~1000x off
-    roofline while the identical unrolled program hits ~15 ms for 32
-    masked counts over 38M keys (see _BISECT_THRESHOLD note)."""
+def _kth_smallest_bisect_unrolled_pair(
+    values: jnp.ndarray, mask: jnp.ndarray, k1, k2
+):
+    """Two k-selections via statically unrolled bitwise bisection.
+
+    Unrolled because on the axon TPU backend a fori_loop reduction runs
+    ~1000x off roofline while the identical unrolled program hits ~15 ms
+    for 32 masked counts over 38M keys (see _BISECT_THRESHOLD note).
+    Paired because both bisection states count against the SAME key
+    array each iteration — XLA fuses the two masked sums into one sweep,
+    so the quantile midpoint's (floor, ceil) selections cost one pass'
+    memory traffic instead of two.
+    """
     dtype = values.dtype
     keys = _float_sort_key(values)
     utype = keys.dtype
@@ -121,15 +129,20 @@ def _kth_smallest_bisect_unrolled(values: jnp.ndarray, mask: jnp.ndarray, k):
     bits = 64 if dtype == jnp.float64 else 32
     one = jnp.asarray(1, utype)
     two = jnp.asarray(2, utype)
-    lo = jnp.asarray(0, utype)
-    hi = allones - one
+    lo1 = lo2 = jnp.asarray(0, utype)
+    hi1 = hi2 = allones - one
     for _ in range(bits):
-        mid = lo + (hi - lo) // two
-        cnt = jnp.sum((keys <= mid) & mask, dtype=jnp.int32)
-        take_low = cnt >= k + 1
-        lo = jnp.where(take_low, lo, mid + one)
-        hi = jnp.where(take_low, mid, hi)
-    return _key_to_float(lo, dtype)
+        mid1 = lo1 + (hi1 - lo1) // two
+        mid2 = lo2 + (hi2 - lo2) // two
+        cnt1 = jnp.sum((keys <= mid1) & mask, dtype=jnp.int32)
+        cnt2 = jnp.sum((keys <= mid2) & mask, dtype=jnp.int32)
+        take_low1 = cnt1 >= k1 + 1
+        take_low2 = cnt2 >= k2 + 1
+        lo1 = jnp.where(take_low1, lo1, mid1 + one)
+        hi1 = jnp.where(take_low1, mid1, hi1)
+        lo2 = jnp.where(take_low2, lo2, mid2 + one)
+        hi2 = jnp.where(take_low2, mid2, hi2)
+    return _key_to_float(lo1, dtype), _key_to_float(lo2, dtype)
 
 
 def masked_quantile_midpoint(
@@ -149,8 +162,9 @@ def masked_quantile_midpoint(
     if values.ndim == 1 and _use_bisect(values.shape[-1]):
         lo_k = jnp.maximum(jnp.floor(pos).astype(jnp.int32), 0)
         hi_k = jnp.maximum(jnp.ceil(pos).astype(jnp.int32), 0)
-        vlo = _kth_smallest_bisect_unrolled(values, mask, lo_k)
-        vhi = _kth_smallest_bisect_unrolled(values, mask, hi_k)
+        vlo, vhi = _kth_smallest_bisect_unrolled_pair(
+            values, mask, lo_k, hi_k
+        )
         return (vlo + vhi) * jnp.asarray(0.5, values.dtype)
     big = jnp.asarray(jnp.inf, values.dtype)
     filled = jnp.where(mask, values, big)

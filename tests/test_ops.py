@@ -123,3 +123,22 @@ def test_kth_smallest_bisect_exact():
                 jnp.asarray(x), jnp.asarray(mask), k
             )
             assert float(got) == ref[k], (dtype, k)
+
+
+def test_kth_smallest_bisect_unrolled_pair():
+    """The paired unrolled bisect (the TPU large-median path) matches a
+    host sort for both (floor, ceil) ranks, on exact float keys."""
+    import numpy as np
+
+    from bliss_tpu.ops.reductions import _kth_smallest_bisect_unrolled_pair
+
+    rng = np.random.default_rng(3)
+    vals = rng.normal(size=4001).astype(np.float32)
+    mask = rng.random(4001) < 0.7
+    sel = np.sort(vals[mask])
+    for k1, k2 in [(0, 1), (17, 18), (len(sel) - 2, len(sel) - 1)]:
+        v1, v2 = _kth_smallest_bisect_unrolled_pair(
+            jnp.asarray(vals), jnp.asarray(mask), k1, k2
+        )
+        assert np.float32(v1) == sel[k1]
+        assert np.float32(v2) == sel[k2]
