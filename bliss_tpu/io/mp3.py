@@ -292,7 +292,6 @@ def _read_scalefactors_mpeg1(
     slen1 = T.SLEN[0][g.scalefac_compress]
     slen2 = T.SLEN[1][g.scalefac_compress]
     if g.block_type == 2:
-        n = 17 if g.switch_point else 18  # mixed shares one long group
         sf = []
         if g.switch_point:
             for _ in range(8):
@@ -468,7 +467,6 @@ def _requantize(x: np.ndarray, g: _Granule, rate_index: int) -> np.ndarray:
             gains.append(gg - (s << shift))
         exps[:] = np.repeat(np.asarray(gains, np.int32), lw)[:576]
     else:
-        offs = 0
         sfi = 0
         parts = []
         if kind == "mixed":
@@ -476,14 +474,12 @@ def _requantize(x: np.ndarray, g: _Granule, rate_index: int) -> np.ndarray:
                 s = sf[sfi] + (T.PRETAB[b] if g.preflag else 0)
                 parts.append(np.full(w, gg - (s << shift), np.int32))
                 sfi += 1
-                offs += w
         for w in sw:
             for win in range(3):
                 s = sf[sfi]
                 e = gg - 8 * g.subblock_gain[win] - (s << shift)
                 parts.append(np.full(w, e, np.int32))
                 sfi += 1
-                offs += w
         cat = np.concatenate(parts)[:576]
         exps[: cat.shape[0]] = cat
     out = np.sign(x) * np.abs(x) ** (4.0 / 3.0)
@@ -509,7 +505,6 @@ def _reorder_map(g: _Granule, rate_index: int) -> Optional[np.ndarray]:
         src.extend(range(n_long))
         dst.extend(range(n_long))
         pos = n_long
-    start = pos
     for w in sw:
         if pos + 3 * w > 576:
             break

@@ -869,7 +869,6 @@ def _decode_packet_spectra(
     n2 = n // 2
     prev_flag = next_flag = 1
     ch = setup.channels
-    floors: List[Optional[np.ndarray]] = [None] * ch
     residue_out = np.zeros((ch, n2), np.float32)
     # defined before the try: an _EOP on the window flags must leave the
     # channels silent (spec 1.3.2 partial data), not hit a NameError below

@@ -22,7 +22,6 @@ def loudness_features(signal: jnp.ndarray, length) -> jnp.ndarray:
         signal = jnp.pad(signal, (0, pad))
     length = jnp.asarray(length, jnp.int32)
 
-    chunks = signal.reshape(n_chunks_max, WINDOW_SIZE)
     idx = jnp.arange(n_chunks_max, dtype=jnp.int32) * WINDOW_SIZE
     # per-chunk valid sample count: 1024 for full chunks, remainder for the
     # final partial chunk, 0 past the end

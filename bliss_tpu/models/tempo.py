@@ -430,8 +430,8 @@ def _checkstate(state: BeatState, xs: BlockInputs, rp, consts: _BTConstants):
     bp_init = rp
     ones2 = jnp.ones((2 * laglen,), jnp.float32)
 
+    # (the third branch, initial state, is the implicit else below)
     use_ctx = (~flagconst) & (state.timesig > 0)
-    use_init = (~flagconst) & (state.timesig <= 0)
 
     bp = jnp.where(flagconst, bp_c, jnp.where(use_ctx, bp_ctx, bp_init))
     gp_out = jnp.where(flagconst, gp_c, gp)
@@ -554,7 +554,7 @@ def tempo_feature(signal: jnp.ndarray, length, sample_rate: int = 22050):
     """Full tempo pipeline: signal → normalized median BPM in [-1, 1]
     (BPMDesc, src/temporal.rs:32-85)."""
     consts = _bt_constants(sample_rate)
-    winlen, step = consts.winlen, consts.step
+    step = consts.step
 
     t = signal.shape[-1]
     h_max = int(n_frames_strided(t, WINDOW_SIZE, HOP_SIZE))

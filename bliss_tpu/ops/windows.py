@@ -123,7 +123,6 @@ def frame_signal_reflect(
     """
     import jax
 
-    t = signal.shape[-1]
     pad = window_length // 2
     length = jnp.asarray(length, jnp.int32)
 

@@ -404,7 +404,6 @@ def _device_greedy_chain(mat, start_idx, metric, alive0):
 
     x = jnp.asarray(mat)
     alive = jnp.asarray(alive0)
-    n = mat.shape[0]
     steps = int(alive0.sum())
 
     if cosine:
