@@ -84,6 +84,8 @@ def build_analyzer(version: int = 2):
     """
 
     def analyze(samples: np.ndarray) -> np.ndarray:
+        import time
+
         samples = np.asarray(samples, dtype=np.float32)
         n = samples.shape[-1]
         if n < MIN_SAMPLES:
@@ -92,7 +94,17 @@ def build_analyzer(version: int = 2):
         buf = np.zeros(padded_len, dtype=np.float32)
         buf[:n] = samples
         fn = _compiled_single(padded_len, version)
-        out = fn(jnp.asarray(buf), n)
+        # the tunneled remote-compile/execute path occasionally drops a
+        # connection mid-flight (observed: "response body closed before
+        # all bytes were read"); retry like the batch driver does
+        for attempt in range(3):
+            try:
+                out = fn(jnp.asarray(buf), n)
+                break
+            except Exception:
+                if attempt == 2:
+                    raise
+                time.sleep(1.0 + attempt)
         return np.asarray(out)
 
     return analyze

@@ -59,3 +59,68 @@ def test_tpu_golden_drift_batched_wire(data_dir):
     err = np.abs(song.analysis.as_arr1() - np.asarray(GOLDEN_V2, np.float32))
     # straight-s16 source: the i16b wire is bit-exact, same bound applies
     np.testing.assert_array_less(err, 2e-5)
+
+
+# CPU/x64 golden vectors for additional fixtures (computed with the
+# golden-exact CPU path; the reference pipeline matches these at 1e-5)
+GOLDEN_PIANO_V2 = [
+    0.186997, -0.9421521, -0.8771694, -0.9097559, -0.8466107, -0.8806664,
+    -0.965025, -0.9571955, 0.701856, 0.7115821, -0.1106601, -0.151587,
+    -0.2128479, -0.2137761, -0.2037353, -0.2142037, 0.0001309, 9.23e-05,
+    -1.29e-05, -0.0002102, -0.4716533, -0.6606562, 0.1577745,
+]
+GOLDEN_NOISE_5MIN_V2 = [
+    0.2329855, -0.5190228, -0.2770232, -0.9518316, 0.4611215, -0.7611563,
+    0.4412593, -0.9182417, 0.4567161, 0.3344924, -0.1770974, -0.1839134,
+    -0.1848129, -0.1849141, -0.1850988, -0.1852149, -3.14e-05, -2.28e-05,
+    -3.7e-06, 5.79e-05, 0.6299107, 0.0990944, 0.1876409,
+]
+GOLDEN_V1 = [
+    0.384639, -0.849141, -0.7548108, -0.8790748, -0.6325786, -0.7258958,
+    -0.7757381, -0.8146727, 0.2716726, 0.2577904, -0.3566194, -0.6357864,
+    -0.2959368, 0.0642131, 0.2185247, -0.5812389, -0.9466835, -0.9481153,
+    -0.9820945, -0.9596897,
+]
+
+
+def test_tpu_golden_drift_piano(data_dir):
+    """A second (musical) fixture and bucket shape."""
+    from bliss_tpu.io.decoder import FFmpegDecoder
+    from bliss_tpu.models.analyzer import build_analyzer
+
+    song = FFmpegDecoder.decode(data_dir / "piano.flac")
+    feats = build_analyzer(2)(song.sample_array)
+    err = np.abs(feats - np.asarray(GOLDEN_PIANO_V2))
+    np.testing.assert_array_less(err, 2e-5)
+
+
+def test_tpu_golden_drift_v1(data_dir):
+    """The 20-feature VERSION1 pipeline on TPU."""
+    from bliss_tpu.io.decoder import FFmpegDecoder
+    from bliss_tpu.models.analyzer import build_analyzer
+
+    song = FFmpegDecoder.decode(data_dir / "s16_mono_22_5kHz.flac")
+    feats = build_analyzer(1)(song.sample_array)
+    err = np.abs(feats - np.asarray(GOLDEN_V1))
+    np.testing.assert_array_less(err, 2e-5)
+
+
+def test_tpu_golden_drift_5min_batched_wire(data_dir):
+    """The 5-minute bucket through the batched driver + quantized wire.
+
+    Resampled source: the i16b wire adds up to ~2.4e-4 on the
+    threshold-counting features (inside the reference's own
+    cross-decoder envelope), so the bound here is 3e-4.
+    """
+    from bliss_tpu.io.batch import analyze_paths_batched
+    from bliss_tpu.io.decoder import FFmpegDecoder
+
+    (song,) = dict(
+        analyze_paths_batched(
+            FFmpegDecoder, [data_dir / "5_mins_of_noise_stereo_48kHz.ogg"]
+        )
+    ).values()
+    err = np.abs(
+        song.analysis.as_arr1() - np.asarray(GOLDEN_NOISE_5MIN_V2, np.float32)
+    )
+    np.testing.assert_array_less(err, 3e-4)
