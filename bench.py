@@ -55,6 +55,10 @@ def main():
     # warm up the compile caches (one batch per distinct bucket)
     warm = sorted(set(paths))
     list(analyze_paths_batched(FFmpegDecoder, warm, AnalysisOptions()))
+    # heartbeat for the parent watchdog: a wedged tunnel connection
+    # never gets this far, so the parent can retry early instead of
+    # waiting out the full limit
+    print("# warmup done", file=sys.stderr, flush=True)
 
     # decode-only pass to attribute host vs device time (optional)
     decode_s = None
@@ -120,20 +124,42 @@ def _run_with_watchdog():
     limit and one retry on a fresh process/connection.
     """
     import subprocess
+    import threading
 
     limit = float(os.environ.get("BLISS_BENCH_WATCHDOG_S", "900"))
+    # a wedged connection never reaches the child's "# warmup done"
+    # heartbeat; give warmup its own (shorter) deadline so a wedge costs
+    # ~5 min, not the full limit
+    warm_limit = float(os.environ.get("BLISS_BENCH_WARMUP_WATCHDOG_S", "420"))
     env = dict(os.environ, BLISS_BENCH_CHILD="1")
-    for attempt in range(2):
+    for attempt in range(3):
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, stderr=subprocess.PIPE, text=True,
+        )
+        warmed = threading.Event()
+
+        def pump(stream=proc.stderr):
+            for line in stream:
+                if "# warmup done" in line:
+                    warmed.set()
+                sys.stderr.write(line)
+
+        t = threading.Thread(target=pump, daemon=True)
+        t.start()
+        deadline = "warmup"
         try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, timeout=limit,
-            )
+            if not warmed.wait(warm_limit):
+                raise subprocess.TimeoutExpired(proc.args, warm_limit)
+            deadline = "bench"
+            proc.wait(limit)
             if proc.returncode == 0:
                 return
         except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait()
             print(
-                f"# bench child hung >{limit:.0f}s (wedged tunnel?), "
+                f"# bench child hung in {deadline} (wedged tunnel?), "
                 f"attempt {attempt + 1}", file=sys.stderr,
             )
     raise SystemExit(1)
