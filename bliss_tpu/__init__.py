@@ -55,7 +55,7 @@ from .features import (
 )
 from .song import Analysis, AnalysisOptions, CueInfo, Song
 
-__version__ = "0.1.0"
+__version__ = "0.13.0"  # tracks the bliss-rs feature level rebuilt here
 
 
 def __getattr__(name):
