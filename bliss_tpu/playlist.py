@@ -20,6 +20,7 @@ callable, mirroring the DistanceMetricBuilder/DistanceMetric trait pair
 
 from __future__ import annotations
 
+import os
 from typing import Callable, List, Optional, Sequence
 
 import numpy as np
@@ -434,10 +435,17 @@ def _device_greedy_chain(mat, start_idx, metric, alive0):
         nxt = jnp.argmin(d).astype(cur.dtype)
         return (alive.at[nxt].set(False), nxt), nxt
 
+    # Unrolling amortizes the scan's per-step launch overhead; measured
+    # on the chip at N=100k (tmp/probe_chain_unroll.py): unroll 1/8/16/
+    # 32/64 -> 11.98/8.93/8.27/7.59/8.32 s, identical orders. CPU keeps
+    # unroll=1 (launch overhead is not the bottleneck there).
+    default_unroll = "32" if jax.default_backend() == "tpu" else "1"
+
     @jax.jit
     def walk(alive, start):
         (_, _), order = jax.lax.scan(
-            step, (alive, start), None, length=steps
+            step, (alive, start), None, length=steps,
+            unroll=int(os.environ.get("BLISS_CHAIN_UNROLL", default_unroll)),
         )
         return order
 
