@@ -70,7 +70,12 @@ def main():
     spec = jax.jit(lambda s: stft(s, 8192, 2205, dtype=jnp.float32))(sig)
     mask = jnp.ones((f,), bool)
     bench("chroma: stft 8192/2205", lambda s: jnp.sum(stft(s, 8192, 2205)), sig)
-    bench("chroma: estimate_tuning", chroma.estimate_tuning, spec, mask, 8192)
+    bench(
+        "chroma: estimate_tuning",
+        lambda sp, m: chroma.estimate_tuning(sp, m, 8192),
+        spec,
+        mask,
+    )
     bench(
         "chroma: chroma_stft",
         lambda sp: chroma.chroma_stft_from_spectrum(sp, jnp.float32(-0.05), 8192),

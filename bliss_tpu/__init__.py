@@ -28,8 +28,17 @@ def _enable_persistent_compile_cache() -> None:
 
         if jax.config.jax_compilation_cache_dir is None:
             # per-user default path: a world-shared /tmp dir would be
-            # owned by whoever ran first and unwritable for everyone else
-            default = f"/tmp/bliss_jax_cache_{_os.getuid()}"
+            # owned by whoever ran first and unwritable for everyone else.
+            # The fake-multi-device CPU mesh compiles with different
+            # target flags than the plain backend — give it its own dir
+            # so AOT entries don't cross-contaminate (noisy loader errors).
+            suffix = (
+                "_cpumesh"
+                if "--xla_force_host_platform_device_count"
+                in _os.environ.get("XLA_FLAGS", "")
+                else ""
+            )
+            default = f"/tmp/bliss_jax_cache_{_os.getuid()}{suffix}"
             jax.config.update(
                 "jax_compilation_cache_dir",
                 _os.environ.get("BLISS_JAX_CACHE_DIR", default),
