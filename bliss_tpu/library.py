@@ -1,10 +1,12 @@
 """SQLite-backed Library: persistence, incremental updates, playlists.
 
 Behavioral port of bliss-rs src/library.rs (same table layout, same
-migrations, same config JSON format — blissify-style clients drop in),
-with one TPU-native addition: playlist queries pull the whole `[N, F]`
-feature matrix in one SQL pass and hand it to the device-batched playlist
-engine instead of evaluating scalar distances per row.
+migrations, same config JSON format — blissify-style clients drop in).
+Playlist queries hand the full song list to the device-batched playlist
+engine (playlist.py stacks one `[N, F]` matrix per query instead of
+evaluating scalar distances per row); `feature_matrix` additionally
+exposes the matrix directly for callers that want the raw `[N, F]`
+device form without materializing LibrarySong objects.
 
 The SQLite database is also the checkpoint/resume story
 (src/library.rs:1000-1093): `update_library` only analyzes the
@@ -413,12 +415,17 @@ class Library:
             "select count(*) from pragma_table_list"
         ).fetchone()[0]
         is_new = n_tables <= 2  # sqlite_schema + sqlite_temp_schema
-        if version == 0 and is_new:
-            conn.executescript(SQLITE_SCHEMA)
-        else:
-            for migration in SQLITE_MIGRATIONS[version:]:
-                if migration.strip():
-                    conn.executescript(migration)
+        try:
+            if version == 0 and is_new:
+                conn.executescript(SQLITE_SCHEMA)
+            else:
+                for migration in SQLITE_MIGRATIONS[version:]:
+                    if migration.strip():
+                        conn.executescript(migration)
+        except sqlite3.Error as e:
+            # e.g. opening a non-bliss sqlite file: keep the BlissError
+            # surface like the reference (src/library.rs:673-677)
+            raise ProviderError(f"could not upgrade database: {e}")
         conn.execute(f"pragma user_version = {n_migrations}")
         conn.commit()
 
@@ -861,10 +868,29 @@ class Library:
                 (version,),
             ).fetchall()
         n_features = FeaturesVersion.from_int(version).feature_count
-        paths = [r[0] for r in rows[::n_features]]
-        mat = np.asarray([r[1] for r in rows], np.float32).reshape(
-            -1, n_features
-        )
+        paths: List[str] = []
+        feats: List[float] = []
+        count = 0
+        prev = None
+        for path, feature in rows:
+            if path != prev:
+                if prev is not None and count != n_features:
+                    raise ProviderError(
+                        f"Song with path {prev} has a different feature "
+                        "number than expected. Please rescan or update "
+                        "the song library."
+                    )
+                paths.append(path)
+                prev = path
+                count = 0
+            count += 1
+            feats.append(feature)
+        if prev is not None and count != n_features:
+            raise ProviderError(
+                f"Song with path {prev} has a different feature number "
+                "than expected. Please rescan or update the song library."
+            )
+        mat = np.asarray(feats, np.float32).reshape(-1, n_features)
         return paths, mat
 
     # --- storage ----------------------------------------------------------------

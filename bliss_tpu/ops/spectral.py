@@ -93,9 +93,18 @@ def pvoc_mags_buggy(frames: jnp.ndarray) -> jnp.ndarray:
     output `[..., n_frames, window//2]`.
     """
     w = frames.shape[-1]
-    half = w // 2
     mags = _windowed_mags(frames)  # [..., half+1]
-    return jnp.concatenate([mags[..., : half - 1], mags[..., half:]], axis=-1)
+    return _buggy_256_layout(mags, w)
+
+
+def _buggy_256_layout(mags: jnp.ndarray, window: int) -> jnp.ndarray:
+    """Apply the aubio overflow layout: drop true bin half-1, keep the
+    Nyquist in its place (single source of truth for both the framed
+    fused path and pvoc_mags_buggy)."""
+    half = window // 2
+    return jnp.concatenate(
+        [mags[..., : half - 1], mags[..., half:]], axis=-1
+    )
 
 
 def _use_pallas() -> bool:
@@ -137,10 +146,7 @@ def framed_pvoc_mags(
         frames = frame_signal(signal, window, hop, offset, n_frames)
         mags = _windowed_mags(frames)
     if buggy:
-        half = window // 2
-        mags = jnp.concatenate(
-            [mags[..., : half - 1], mags[..., half:]], axis=-1
-        )
+        mags = _buggy_256_layout(mags, window)
     return mags
 
 

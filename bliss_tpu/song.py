@@ -108,11 +108,11 @@ class Analysis:
         snapshots :711-735): named fields then the raw vector in a
         `/* [...] */` trailer, floats in Rust's shortest-roundtrip f32
         notation."""
-        raw_only = ", ".join(_f32_debug(x) for x in self._vec)
+        raw = ", ".join(_f32_debug(x) for x in self._vec)
         if len(self._vec) != self.features_version.feature_count:
             # mismatched field count: version is unprintable
             # (src/song/mod.rs:316-322, test_debug_analysis_wrong_number_fields)
-            return f"Analysis (Version ?) /* [{raw_only}] */"
+            return f"Analysis (Version ?) /* [{raw}] */"
         idx_enum = (
             AnalysisIndex
             if self.features_version == FeaturesVersion.VERSION2
@@ -122,7 +122,6 @@ class Analysis:
             f"{_camel(name.name)}: {_f32_debug(self._vec[name.value])}"
             for name in idx_enum
         )
-        raw = ", ".join(_f32_debug(x) for x in self._vec)
         return (
             f"Analysis (Version {int(self.features_version)}) "
             f"{{ {fields} }} /* [{raw}] */"
@@ -183,4 +182,11 @@ class Song:
         return Analysis(features, analysis_options.features_version)
 
     def distance(self, other: "Song") -> float:
+        if self.analysis is None or other.analysis is None:
+            # keep the BlissError surface: an un-analyzed Song has no
+            # Analysis here (the reference's Song always carries one)
+            raise ProviderError(
+                "tried to compute the distance of a song that has not "
+                "been analyzed"
+            )
         return self.analysis.distance(other.analysis)

@@ -271,3 +271,47 @@ def test_library_respects_custom_batch_driver(tmp_path):
     library = Library(config, CustomDriverDecoder)
     library.analyze_paths(["/tmp/x.flac"])
     assert calls == [["/tmp/x.flac"]]
+
+
+def test_upgrade_non_bliss_db_raises_provider_error(tmp_path):
+    """Opening a Library over a non-bliss sqlite file surfaces a
+    ProviderError, not a raw sqlite3 error (r2 review)."""
+    import sqlite3
+
+    db = tmp_path / "other.db"
+    conn = sqlite3.connect(db)
+    conn.executescript(
+        "create table a(x); create table b(x); create table c(x);"
+    )
+    conn.commit()
+    conn.close()
+    config = BaseConfig(
+        config_path=tmp_path / "config.json", database_path=db
+    )
+    with pytest.raises(ProviderError, match="could not upgrade database"):
+        Library(config, DummyDecoder)
+
+
+def test_feature_matrix_rejects_corrupt_counts(library):
+    """A song with a deviant feature count raises instead of silently
+    mispairing rows (r2 review)."""
+    library.store_song(LibrarySong(_song("/tmp/a.flac", 0.1), None))
+    library.store_song(LibrarySong(_song("/tmp/b.flac", 0.2), None))
+    library.sqlite_conn.execute(
+        "insert into feature (song_id, feature, feature_index)"
+        " select id, 9.9, 23 from song where path = '/tmp/a.flac'"
+    )
+    library.sqlite_conn.commit()
+    with pytest.raises(ProviderError, match="different feature number"):
+        library.feature_matrix()
+
+
+def test_song_distance_unanalyzed_raises_provider_error():
+    """Song.distance on a metadata-only Song raises inside the
+    BlissError family (r2 review)."""
+    import pathlib as _p
+
+    a = Song(path=_p.Path("a"))
+    b = _song("/tmp/b.flac", 0.1)
+    with pytest.raises(ProviderError, match="has not been analyzed"):
+        a.distance(b)
