@@ -96,7 +96,14 @@ def sharded_top_k(
     """Top-k closest library rows to a seed set, with a per-shard local
     top-k then a global merge (one tiny cross-chip gather instead of
     moving the full distance vector).
-    Returns `(indices, distances)`, both `[k]`.
+
+    Handles every shape degeneracy: `N` not divisible by the mesh size
+    (rows are padded with +inf distances and never selected), `k` larger
+    than a shard (each shard contributes min(k, shard_n) candidates —
+    everything it holds, so a top-k cluster living on one chip is fully
+    returned), and `k > N` (clamped to N).
+    Returns `(indices, distances)`, both `[min(k, N)]`, sorted ascending
+    with ties broken by row index (matches a stable host argsort).
     """
     from jax import shard_map
 
@@ -105,7 +112,16 @@ def sharded_top_k(
     f = library.shape[-1]
     w = np.eye(f, dtype=np.float32) if weights is None else weights
     n_dev = mesh.size
-    k_local = min(k, n // n_dev)
+    k = min(k, n)
+    if k <= 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.float32)
+    shard_n = -(-n // n_dev)  # ceil: rows per shard after padding
+    n_pad = shard_n * n_dev
+    if n_pad != n:
+        library = np.concatenate(
+            [library, np.zeros((n_pad - n, f), library.dtype)]
+        )
+    k_local = min(k, shard_n)
 
     @functools.partial(
         shard_map,
@@ -117,8 +133,10 @@ def sharded_top_k(
         d = lib[:, None, :] - s[None, :, :]
         q = jnp.einsum("nkf,fg,nkg->nk", d, m, d, precision="highest")
         dist = jnp.sum(jnp.sqrt(jnp.maximum(q, 0.0)), axis=1)
-        neg_top, idx = jax.lax.top_k(-dist, k_local)
         base = jax.lax.axis_index(axis) * lib.shape[0]
+        row = base + jnp.arange(lib.shape[0])
+        dist = jnp.where(row < n, dist, jnp.inf)  # padded rows lose
+        neg_top, idx = jax.lax.top_k(-dist, k_local)
         return idx + base, -neg_top
 
     lib_sharding = NamedSharding(mesh, P(axis, None))
@@ -128,5 +146,7 @@ def sharded_top_k(
     m = jax.device_put(jnp.asarray(w, jnp.float32), rep)
     idx, dist = jax.jit(local_topk)(lib, s, m)
     idx, dist = np.asarray(idx), np.asarray(dist)
-    order = np.argsort(dist, kind="stable")[:k]
+    # stable global merge: sort by (distance, row index) so equal
+    # distances resolve identically to a host-side stable argsort
+    order = np.lexsort((idx, dist))[:k]
     return idx[order], dist[order]
