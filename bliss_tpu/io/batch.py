@@ -117,23 +117,59 @@ def _chunk_bounds(padded_len: int) -> List[Tuple[int, int]]:
     ]
 
 
-def _upload_song(samples: np.ndarray, padded_len: int, kind: str):
+def _upload_song(samples: np.ndarray, padded_len: int, kind: str, device=None):
     """Start the async host→device transfer of one song (chunked);
-    returns a flat tuple of device handles."""
+    returns a flat tuple of device handles, committed to `device` when the
+    batch is sharded over a mesh (the song's row shard lives there)."""
     import jax
 
     if kind == "f32":
         buf = np.zeros(padded_len, np.float32)
         buf[: samples.shape[0]] = samples
         return tuple(
-            jax.device_put(buf[lo:hi]) for lo, hi in _chunk_bounds(padded_len)
+            jax.device_put(buf[lo:hi], device)
+            for lo, hi in _chunk_bounds(padded_len)
         )
     i16, e8 = _quantize_i16b(samples, padded_len)
     handles = [
-        jax.device_put(i16[lo:hi]) for lo, hi in _chunk_bounds(padded_len)
+        jax.device_put(i16[lo:hi], device)
+        for lo, hi in _chunk_bounds(padded_len)
     ]
-    handles.append(jax.device_put(e8))
+    handles.append(jax.device_put(e8, device))
     return tuple(handles)
+
+
+def _analysis_devices() -> tuple:
+    """Devices the batched analyzer spreads bucket batches over.
+
+    All visible devices by default (the production multi-chip path the
+    reference reaches with its per-core thread fan-out,
+    src/song/decoder.rs:278-332); `BLISS_ANALYZE_DEVICES=n` caps it
+    (n=1 reproduces the single-chip driver exactly — used by the
+    8-vs-1-device identity test).
+    """
+    import jax
+
+    devs = tuple(jax.devices())
+    cap = os.environ.get("BLISS_ANALYZE_DEVICES")
+    if cap:
+        devs = devs[: max(1, int(cap))]
+    return devs
+
+
+def _usable_ndev(b: int, avail: int) -> int:
+    """Largest device count ≤ `avail` dividing batch `b` evenly."""
+    d = max(1, min(b, avail))
+    while b % d:
+        d -= 1
+    return d
+
+
+def _slot_device(b: int, slot: int):
+    """Mesh device owning row `slot` of a `[b, T]` batch sharded P('songs')."""
+    devs = _analysis_devices()
+    n_dev = _usable_ndev(b, len(devs))
+    return devs[slot * n_dev // b]
 
 
 def _handles_per_song(padded_len: int, kind: str) -> int:
@@ -197,29 +233,131 @@ class _Decoded:
         return self.upload.result()
 
 
+@functools.lru_cache(maxsize=256)
+def _compiled_assemble(padded_len: int, spd: int, n_present: int, kind: str):
+    """Per-device shard assembly: `spd` songs' wire chunks → one
+    `[spd, padded_len]` f32 row block, built ON the device that owns the
+    chunks (jit follows the committed inputs; no cross-device traffic).
+    Missing tail slots (partial buckets) become zero rows, masked out by
+    their MIN_SAMPLES lengths downstream."""
+    import jax
+    import jax.numpy as jnp
+
+    per_song = _handles_per_song(padded_len, kind)
+
+    def fn(*parts):
+        rows = []
+        for i in range(n_present):
+            h = parts[i * per_song : (i + 1) * per_song]
+            if kind == "f32":
+                rows.append(jnp.concatenate(h))
+            else:
+                i16 = jnp.concatenate(h[:-1])
+                scale = jnp.exp2(h[-1].astype(jnp.float32) - 15.0)
+                rows.append(
+                    (
+                        i16.astype(jnp.float32).reshape(-1, WIRE_BLOCK)
+                        * scale[:, None]
+                    ).reshape(-1)
+                )
+        for _ in range(spd - n_present):
+            rows.append(jnp.zeros(padded_len, jnp.float32))
+        return jnp.stack(rows)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=32)
+def _zero_shard(padded_len: int, spd: int, device):
+    """An all-zero `[spd, padded_len]` row block materialized on `device`
+    (a device-empty tail shard of a partial bucket)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import SingleDeviceSharding
+
+    fn = jax.jit(
+        lambda: jnp.zeros((spd, padded_len), jnp.float32),
+        out_shardings=SingleDeviceSharding(device),
+    )
+    return fn()
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_sharded(padded_len: int, b: int, version: int, devs: tuple):
+    """The batch analyzer jitted over a 1-D `Mesh(('songs',))`: rows
+    (songs) sharded over the devices, lengths sharded alongside, features
+    sharded back. Songs are independent, so the program is collective-free
+    (SURVEY §2.3 row 1)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ..models.analyzer import analyze_samples
+
+    mesh = Mesh(np.array(devs), ("songs",))
+    vmapped = jax.vmap(functools.partial(analyze_samples, version=version))
+    return jax.jit(
+        vmapped,
+        in_shardings=(
+            NamedSharding(mesh, P("songs", None)),
+            NamedSharding(mesh, P("songs")),
+        ),
+        out_shardings=NamedSharding(mesh, P("songs", None)),
+    ), mesh
+
+
+def _dispatch_sharded(
+    entries, lengths, padded_len, batch, version, kind, devs
+):
+    """Launch one bucket over a multi-device mesh: assemble each device's
+    row shard from its songs' committed chunks, stitch the shards into one
+    global sharded `[B, T]` array, run the sharded analyzer."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_dev = len(devs)
+    spd = batch // n_dev
+    handles = [e.handles_ready() for e in entries]
+    shards = []
+    for dix, dev in enumerate(devs):
+        group = handles[dix * spd : (dix + 1) * spd]
+        if not group:
+            shards.append(_zero_shard(padded_len, spd, dev))
+            continue
+        asm = _compiled_assemble(padded_len, spd, len(group), kind)
+        shards.append(asm(*[h for song in group for h in song]))
+    fn, mesh = _compiled_sharded(padded_len, batch, version, devs)
+    global_batch = jax.make_array_from_single_device_arrays(
+        (batch, padded_len), NamedSharding(mesh, P("songs", None)), shards
+    )
+    return fn(global_batch, lengths)
+
+
 def _dispatch_bucket(
     entries: List[_Decoded], padded_len: int, batch: int, version: int, kind: str
 ):
     """Launch one bucket program over per-song device handles; empty
     slots reuse the first song's handles (masked out via length)."""
-    import time
+    from ..utils.retry import retry_transient
 
     lengths = np.full((batch,), MIN_SAMPLES, np.int32)
     for i, e in enumerate(entries):
         lengths[i] = e.n
+    devs = _analysis_devices()
+    n_dev = _usable_ndev(batch, len(devs))
+    if n_dev > 1:
+        return retry_transient(
+            lambda: _dispatch_sharded(
+                entries, lengths, padded_len, batch, version, kind,
+                devs[:n_dev],
+            )
+        )
     fn = _compiled_stacked(padded_len, batch, version, kind)
     handles = [e.handles_ready() for e in entries]
     handles += [handles[0]] * (batch - len(entries))
     args = [h for song in handles for h in song]
     # the tunneled remote-compile/execute path occasionally drops a
     # connection mid-flight; one song batch must not kill a 10k-song run
-    for attempt in range(3):
-        try:
-            return fn(lengths, *args)
-        except Exception:
-            if attempt == 2:
-                raise
-            time.sleep(1.0 + attempt)
+    return retry_transient(lambda: fn(lengths, *args))
 
 
 def analyze_paths_batched(
@@ -269,10 +407,10 @@ def analyze_paths_batched(
                 d.n = int(d.raw.sample_array.shape[0])
         return out
 
-    def upload_one(d: _Decoded):
+    def upload_one(d: _Decoded, device=None):
         samples = d.raw.sample_array
         d.raw.sample_array = None  # device owns it after the put below
-        return _upload_song(samples, bucket_length(d.n), kind)
+        return _upload_song(samples, bucket_length(d.n), kind, device)
 
     buckets: dict = {}
     in_flight: list = []  # [(entries, Future[device_features])]
@@ -294,8 +432,11 @@ def analyze_paths_batched(
             for e, f in zip(entries, host):
                 yield e.path, _make_song(e.raw, f, options)
 
-    def route(d: _Decoded):
-        """Place one decoded song into its bucket; dispatch full buckets."""
+    def place(d: _Decoded):
+        """Place one decoded song into its bucket; returns
+        (errors, bucket_key) — key None for error/too-short entries.
+        The caller submits the upload (now that the slot, and with it the
+        mesh device, is known) and dispatches full buckets."""
         if d.error is not None:
             return [(d.path, d.error)], None
         if d.n < MIN_SAMPLES:
@@ -304,9 +445,7 @@ def analyze_paths_batched(
         b = batch_size if padded <= LONG_SONG else max(1, batch_size // 4)
         key = (padded, b)
         buckets.setdefault(key, []).append(d)
-        if len(buckets[key]) == b:
-            return [], (key, buckets.pop(key))
-        return [], None
+        return [], key
 
     window = max(workers * 2, batch_size)
     with ThreadPoolExecutor(max_workers=workers) as pool, ThreadPoolExecutor(
@@ -323,7 +462,7 @@ def analyze_paths_batched(
                     return
                 futures.add(pool.submit(decode_one, item))
 
-        def submit_upload(d: _Decoded):
+        def submit_upload(d: _Decoded, device):
             # bound decoded-but-unsent bytes: block on the oldest transfer
             pending_uploads[:] = [
                 (f, nb) for f, nb in pending_uploads if not f.done()
@@ -333,7 +472,7 @@ def analyze_paths_batched(
                 > MAX_PENDING_UPLOAD_BYTES
             ):
                 pending_uploads.pop(0)[0].result()
-            d.upload = uploader.submit(upload_one, d)
+            d.upload = uploader.submit(upload_one, d, device)
             pending_uploads.append((d.upload, 4 * d.n))
 
         top_up()
@@ -341,12 +480,14 @@ def analyze_paths_batched(
             done, futures = wait(futures, return_when=FIRST_COMPLETED)
             for fut in done:
                 for d in fut.result():
-                    if d.error is None and d.n >= MIN_SAMPLES:
-                        submit_upload(d)
-                    errs, ready = route(d)
+                    errs, key = place(d)
                     yield from errs
-                    if ready is not None:
-                        dispatch(*ready)
+                    if key is None:
+                        continue
+                    slot = len(buckets[key]) - 1
+                    submit_upload(d, _slot_device(key[1], slot))
+                    if len(buckets[key]) == key[1]:
+                        dispatch(key, buckets.pop(key))
                         yield from drain(keep=in_flight_batches)
             top_up()
         for key, entries in list(buckets.items()):

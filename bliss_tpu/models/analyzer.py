@@ -84,7 +84,7 @@ def build_analyzer(version: int = 2):
     """
 
     def analyze(samples: np.ndarray) -> np.ndarray:
-        import time
+        from ..utils.retry import retry_transient
 
         samples = np.asarray(samples, dtype=np.float32)
         n = samples.shape[-1]
@@ -96,15 +96,8 @@ def build_analyzer(version: int = 2):
         fn = _compiled_single(padded_len, version)
         # the tunneled remote-compile/execute path occasionally drops a
         # connection mid-flight (observed: "response body closed before
-        # all bytes were read"); retry like the batch driver does
-        for attempt in range(3):
-            try:
-                out = fn(jnp.asarray(buf), n)
-                break
-            except Exception:
-                if attempt == 2:
-                    raise
-                time.sleep(1.0 + attempt)
+        # all bytes were read"); retry those — and only those
+        out = retry_transient(lambda: fn(jnp.asarray(buf), n))
         return np.asarray(out)
 
     return analyze

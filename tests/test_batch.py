@@ -173,3 +173,60 @@ def test_i16b_power_of_two_peak_exact():
     y[5] = np.float32(-1.0)
     rec = reconstruct(*_quantize_i16b(y, padded))
     np.testing.assert_array_equal(rec, y)
+
+
+def test_batched_multi_device_matches_single_device(data_dir, monkeypatch):
+    """The production driver sharded over the 8-device fake cluster must
+    produce the same features as the 1-device driver (VERDICT r2 item 1)."""
+    import jax
+
+    assert len(jax.devices()) >= 8
+    paths = [
+        data_dir / "s16_mono_22_5kHz.flac",
+        data_dir / "piano.flac",
+        data_dir / "s32_stereo_44_1_kHz.mp3",
+        data_dir / "s32_stereo_44_1_kHz.flac",
+        data_dir / "s16_mono_22_5kHz.flac",
+        data_dir / "piano.flac",
+        data_dir / "s32_stereo_44_1_kHz.flac",
+        data_dir / "s16_mono_22_5kHz.flac",
+        # a ninth song: forces one full 8-slot batch + a partial flush
+        data_dir / "piano.flac",
+    ]
+    monkeypatch.setenv("BLISS_ANALYZE_DEVICES", "1")
+    single = [
+        (p, r.analysis.as_arr1())
+        for p, r in analyze_paths_batched(FFmpegDecoder, paths, batch_size=8)
+    ]
+    monkeypatch.setenv("BLISS_ANALYZE_DEVICES", "8")
+    sharded = [
+        (p, r.analysis.as_arr1())
+        for p, r in analyze_paths_batched(FFmpegDecoder, paths, batch_size=8)
+    ]
+    assert len(single) == len(sharded) == len(paths)
+    for (p1, f1), (p8, f8) in zip(
+        sorted(single, key=lambda t: str(t[0])),
+        sorted(sharded, key=lambda t: str(t[0])),
+    ):
+        assert p1 == p8
+        np.testing.assert_allclose(f8, f1, atol=1e-6)
+
+
+def test_batched_multi_device_partial_only(data_dir, monkeypatch):
+    """A bucket that never fills (3 songs, batch 8) exercises the
+    zero-shard + partial-group assembly path on the mesh."""
+    monkeypatch.setenv("BLISS_ANALYZE_DEVICES", "8")
+    paths = [
+        data_dir / "s16_mono_22_5kHz.flac",
+        data_dir / "piano.flac",
+        data_dir / "s32_stereo_44_1_kHz.mp3",
+    ]
+    sharded = dict(analyze_paths_batched(FFmpegDecoder, paths, batch_size=8))
+    monkeypatch.setenv("BLISS_ANALYZE_DEVICES", "1")
+    single = dict(analyze_paths_batched(FFmpegDecoder, paths, batch_size=8))
+    for p in paths:
+        np.testing.assert_allclose(
+            sharded[p].analysis.as_arr1(),
+            single[p].analysis.as_arr1(),
+            atol=1e-6,
+        )
