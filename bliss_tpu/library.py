@@ -361,6 +361,14 @@ class Library:
         self.decoder_cls = decoder_cls
         config.database_path.parent.mkdir(parents=True, exist_ok=True)
         self._lock = threading.Lock()
+        #: (version, songs, matrix, device_matrix, n_real) — the cached
+        #: song list + [N, F] feature matrix behind playlist queries,
+        #: invalidated on every song/feature write (see
+        #: `_invalidate_matrix_cache`). `device_matrix` is lazy: uploaded
+        #: (row-sharded over the mesh when >1 device) on first device
+        #: query and reused across queries, so a 100k-song library's
+        #: 9 MB matrix crosses the wire once, not per playlist.
+        self._matrix_cache = None
         self.sqlite_conn = sqlite3.connect(
             str(config.database_path), check_same_thread=False
         )
@@ -460,7 +468,17 @@ class Library:
         sort_by: Callable,
         deduplicate: bool,
     ) -> List[LibrarySong]:
-        """Custom-metric, custom-sort playlist (src/library.rs:805-842)."""
+        """Custom-metric, custom-sort playlist (src/library.rs:805-842).
+
+        Queries ride the cached feature matrix: one device-resident
+        `[N, F]` array (uploaded once, row-sharded over the mesh when
+        multiple devices are visible) replaces the reference's per-query
+        SQLite zipper + N scalar metric closures. The generic
+        `sort_by(initial, pool, distance)` protocol is preserved for
+        custom sorters; the package's own sorters take the device path.
+        """
+        from .playlist import song_to_song
+
         initial = []
         for p in initial_song_paths:
             try:
@@ -468,23 +486,91 @@ class Library:
             except BlissError:
                 raise ProviderError(f"song '{p}' has not been analyzed")
         path_set = set(str(p) for p in initial_song_paths)
-        pool = [
-            s
-            for s in self.songs_from_library()
-            if str(s.bliss_song.path) not in path_set
-        ]
-        ordered = list(sort_by(initial, pool, distance))
+        songs, _, n_real = self._cached_library()
+        mask = np.zeros(len(songs), bool)
+        for i, s in enumerate(songs):
+            mask[i] = str(s.bliss_song.path) not in path_set
+        ordered = None
+        if sort_by is closest_to_songs or sort_by is song_to_song:
+            order = self._device_query_order(sort_by, initial, distance, mask)
+            if order is not None:
+                ordered = [songs[i] for i in order]
+        if ordered is None:
+            pool = [s for s, m in zip(songs, mask) if m]
+            ordered = list(sort_by(initial, pool, distance))
         playlist = initial + ordered
         if deduplicate:
             playlist = dedup_playlist_custom_distance(playlist, None, distance)
         return playlist
+
+    def _device_query_order(self, sort_by, initial, distance, mask):
+        """Row order (into the cached matrix) for the package sorters,
+        computed against the device-resident matrix. Returns None when
+        the metric has no batched formulation (the caller then follows
+        the generic pool path)."""
+        from .playlist import (
+            DistanceMetricBuilder,
+            FunctionDistanceMetric,
+            _as_builder,
+            _device_greedy_chain,
+            cosine_distance,
+            song_to_song,
+        )
+
+        songs, mat, n_real = self._cached_library()
+        if not songs:
+            return []
+        builder = _as_builder(distance)
+        initial_vecs = [
+            s.bliss_song.analysis.as_arr1() for s in initial
+        ]
+        metric = builder.build(initial_vecs)
+        batched_fn = isinstance(metric, FunctionDistanceMetric) and (
+            metric.func is euclidean_distance
+            or metric.func is cosine_distance
+            or getattr(metric.func, "weight_matrix", None) is not None
+        )
+        # device matrix for the GEMM-able metrics; the host copy for
+        # anything scored on host (e.g. the isolation forest) — fetching
+        # the device array back through the tunnel would cost more than
+        # it saves
+        target = self._device_matrix() if batched_fn else mat
+        full_mask = np.zeros(mat.shape[0], bool)
+        full_mask[: len(mask)] = mask  # padded rows stay excluded
+        dists = np.asarray(metric.distances(target), np.float32)
+        masked = np.where(full_mask, dists, np.inf)
+        if sort_by is not song_to_song:
+            return np.argsort(masked, kind="stable")[: int(mask.sum())]
+        # song_to_song: greedy chain seeded by the closest-to-seeds row
+        n_alive = int(mask.sum())
+        if n_alive == 0:
+            return []
+        first = int(np.argmin(masked))
+        alive = full_mask.copy()
+        alive[first] = False
+        order = [first]
+        if not isinstance(distance, DistanceMetricBuilder):
+            if alive.any():
+                chain = _device_greedy_chain(mat, first, distance, alive)
+                if chain is None:
+                    return None  # exotic function metric: generic path
+                order.extend(chain)
+            return order
+        # builder metrics re-train on each step (src/playlist.rs:278-298)
+        while alive.any():
+            step_metric = builder.build([mat[order[-1]]])
+            d = np.where(alive, step_metric.distances(mat), np.inf)
+            nxt = int(np.argmin(d))
+            alive[nxt] = False
+            order.append(nxt)
+        return order
 
     def album_playlist_from(
         self, album_title: str, number_albums: int
     ) -> List[LibrarySong]:
         """Album-level playlist (src/library.rs:850-875)."""
         album = self.songs_from_album(album_title)
-        songs = self.songs_from_library()
+        songs, _, _ = self._cached_library()
         playlist = closest_album_to_group(album, songs)
 
         album_count = 0
@@ -697,6 +783,7 @@ class Library:
                     (int(analysis_options.features_version),),
                 )
                 self.sqlite_conn.commit()
+            self._invalidate_matrix_cache()
         self.analyze_paths_convert_extra_info(
             to_analyze, show_progress_bar, convert_extra_info, analysis_options
         )
@@ -893,6 +980,68 @@ class Library:
         mat = np.asarray(feats, np.float32).reshape(-1, n_features)
         return paths, mat
 
+    def _invalidate_matrix_cache(self) -> None:
+        """Drop the cached song list / feature matrix. Called by every
+        writer of the song/feature tables (store_song, store_failed_song,
+        delete_path(s), the update_library version prune). External
+        writers of the same SQLite file are not detected — same contract
+        as the reference's in-process Library."""
+        self._matrix_cache = None
+
+    def _cached_library(self):
+        """(songs, [N_pad, F] matrix, n_real) of all analyzed songs at the
+        configured version; N is padded up to a mesh multiple so the
+        device form can be row-sharded (padded rows are masked out of
+        every query)."""
+        version = int(self.config.analysis_options.features_version)
+        cache = self._matrix_cache
+        if cache is not None and cache[0] == version:
+            return cache[1], cache[2], cache[4]
+        songs = self.songs_from_library()
+        n_features = FeaturesVersion.from_int(version).feature_count
+        n = len(songs)
+        n_dev = self._query_device_count()
+        n_pad = -(-max(n, 1) // n_dev) * n_dev
+        mat = np.zeros((n_pad, n_features), np.float32)
+        for i, s in enumerate(songs):
+            mat[i] = np.asarray(s.bliss_song.analysis.as_arr1(), np.float32)
+        self._matrix_cache = (version, songs, mat, None, n)
+        return songs, mat, n
+
+    @staticmethod
+    def _query_device_count() -> int:
+        import jax
+
+        cap = os.environ.get("BLISS_ANALYZE_DEVICES")
+        n = len(jax.devices())
+        return max(1, min(n, int(cap))) if cap else n
+
+    def _device_matrix(self):
+        """The cached feature matrix resident on device — row-sharded
+        over a 1-D mesh when more than one device is visible (the
+        sharded-distance path of SURVEY §2.3), single-device otherwise."""
+        songs, mat, n_real = self._cached_library()
+        version, _, _, dev, _ = self._matrix_cache
+        if dev is None:
+            import jax
+
+            n_dev = self._query_device_count()
+            if n_dev > 1:
+                from jax.sharding import (
+                    Mesh, NamedSharding, PartitionSpec as P,
+                )
+
+                mesh = Mesh(
+                    np.array(jax.devices()[:n_dev]), ("songs",)
+                )
+                dev = jax.device_put(
+                    mat, NamedSharding(mesh, P("songs", None))
+                )
+            else:
+                dev = jax.device_put(mat)
+            self._matrix_cache = (version, songs, mat, dev, n_real)
+        return dev
+
     # --- storage ----------------------------------------------------------------
 
     def store_song(self, library_song: LibrarySong) -> None:
@@ -970,6 +1119,7 @@ class Library:
             except Exception:
                 self.sqlite_conn.rollback()
                 raise
+        self._invalidate_matrix_cache()
 
     def store_failed_song(
         self, song_path, error: BlissError, features_version=None
@@ -985,6 +1135,7 @@ class Library:
                 (_path_str(song_path), str(error), int(features_version)),
             )
             self.sqlite_conn.commit()
+        self._invalidate_matrix_cache()
 
     def get_failed_songs(self) -> List[ProcessingError]:
         with self._lock:
@@ -1006,6 +1157,7 @@ class Library:
                 "delete from song where path = ?", (song_path,)
             )
             self.sqlite_conn.commit()
+        self._invalidate_matrix_cache()
         if cur.rowcount == 0:
             raise ProviderError(
                 f"tried to delete song {song_path}, not existing in the "
@@ -1022,4 +1174,5 @@ class Library:
                 f"delete from song where path in ({placeholders})", paths
             )
             self.sqlite_conn.commit()
+        self._invalidate_matrix_cache()
         return cur.rowcount

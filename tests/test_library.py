@@ -324,3 +324,122 @@ def test_from_config_path(tmp_path):
     del lib
     lib2 = Library.from_config_path(tmp_path / "c.json", DummyDecoder)
     assert len(lib2.songs_from_library()) == 1
+
+
+# --- cached feature-matrix query path (round 3) -----------------------------
+
+
+def _random_song(rng, path, album=None):
+    vec = rng.uniform(-1, 1, 23).astype(np.float32)
+    return Song(
+        path=pathlib.Path(path),
+        album=album,
+        analysis=Analysis(vec, FeaturesVersion.VERSION2),
+        duration=10.0,
+    )
+
+
+@pytest.fixture
+def filled_library(library):
+    rng = np.random.default_rng(42)
+    for i in range(30):
+        library.store_song(
+            LibrarySong(_random_song(rng, f"/music/{i:03d}.flac"), None)
+        )
+    return library
+
+
+def _generic_playlist(lib, seeds, distance, sort_by):
+    """The pre-cache reference semantics, straight from the SQL zipper."""
+    initial = [lib.song_from_path(p) for p in seeds]
+    path_set = set(seeds)
+    pool = [
+        s
+        for s in lib.songs_from_library()
+        if str(s.bliss_song.path) not in path_set
+    ]
+    from bliss_tpu.playlist import dedup_playlist_custom_distance
+
+    playlist = initial + list(sort_by(initial, pool, distance))
+    return dedup_playlist_custom_distance(playlist, None, distance)
+
+
+@pytest.mark.parametrize("sorter", [closest_to_songs, song_to_song])
+def test_cached_query_matches_generic(filled_library, sorter):
+    seeds = ["/music/003.flac", "/music/011.flac"]
+    fast = filled_library.playlist_from_custom(
+        seeds, euclidean_distance, sorter, True
+    )
+    slow = _generic_playlist(
+        filled_library, seeds, euclidean_distance, sorter
+    )
+    assert [str(s.bliss_song.path) for s in fast] == [
+        str(s.bliss_song.path) for s in slow
+    ]
+
+
+def test_cached_query_forest_metric(filled_library):
+    from bliss_tpu.playlist import ForestOptions
+
+    seeds = [f"/music/{i:03d}.flac" for i in range(6)]
+    forest = ForestOptions(n_trees=20, seed=3)
+    fast = filled_library.playlist_from_custom(
+        seeds, forest, closest_to_songs, False
+    )
+    slow = _generic_playlist(
+        filled_library, seeds, ForestOptions(n_trees=20, seed=3),
+        closest_to_songs,
+    )
+    # forest scoring is deterministic given the seed; orders must agree
+    assert [str(s.bliss_song.path) for s in fast][: len(slow)] == [
+        str(s.bliss_song.path) for s in slow
+    ]
+
+
+def test_matrix_cache_invalidation(filled_library):
+    lib = filled_library
+    songs1, mat1, n1 = lib._cached_library()
+    assert n1 == 30
+    # a second call returns the same cached objects
+    songs2, mat2, _ = lib._cached_library()
+    assert songs1 is songs2 and mat1 is mat2
+    # device form is built lazily and cached
+    dev1 = lib._device_matrix()
+    assert lib._device_matrix() is dev1
+    # store → invalidated
+    rng = np.random.default_rng(1)
+    lib.store_song(LibrarySong(_random_song(rng, "/music/new.flac"), None))
+    songs3, _, n3 = lib._cached_library()
+    assert songs3 is not songs1 and n3 == 31
+    # delete → invalidated
+    lib.delete_path("/music/new.flac")
+    _, _, n4 = lib._cached_library()
+    assert n4 == 30
+    # failed-song store → invalidated (conservative)
+    from bliss_tpu.errors import AnalysisError as AErr
+
+    lib.store_failed_song("/music/broken.flac", AErr("x"))
+    assert lib._matrix_cache is None
+
+
+def test_cached_query_after_mutation(filled_library):
+    """A playlist after store+delete mutations must reflect the DB."""
+    lib = filled_library
+    lib.playlist_from(["/music/000.flac"])  # builds the cache
+    rng = np.random.default_rng(9)
+    clone = _random_song(rng, "/music/clone.flac")
+    seed_vec = np.asarray(
+        lib.song_from_path("/music/000.flac").bliss_song.analysis.as_arr1()
+    ).copy()
+    # near the seed but past the 0.05 dedup threshold: ranks first, kept
+    seed_vec[0] += 0.06
+    clone.analysis = Analysis(seed_vec, FeaturesVersion.VERSION2)
+    lib.store_song(LibrarySong(clone, None))
+    out = lib.playlist_from(["/music/000.flac"])
+    paths = [str(s.bliss_song.path) for s in out]
+    assert paths.index("/music/clone.flac") == 1
+    lib.delete_path("/music/clone.flac")
+    out2 = lib.playlist_from(["/music/000.flac"])
+    assert "/music/clone.flac" not in [
+        str(s.bliss_song.path) for s in out2
+    ]
