@@ -149,8 +149,15 @@ def _run_with_watchdog():
         t.start()
         deadline = "warmup"
         try:
-            if not warmed.wait(warm_limit):
-                raise subprocess.TimeoutExpired(proc.args, warm_limit)
+            # wait in short increments, also watching for child exit: a
+            # child that crashes before the heartbeat must fail the
+            # attempt immediately, not consume the whole warmup deadline
+            start = time.monotonic()
+            while not warmed.wait(2.0):
+                if proc.poll() is not None:
+                    break  # child exited pre-heartbeat (crash or done)
+                if time.monotonic() - start > warm_limit:
+                    raise subprocess.TimeoutExpired(proc.args, warm_limit)
             deadline = "bench"
             proc.wait(limit)
             if proc.returncode == 0:

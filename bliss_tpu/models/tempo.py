@@ -512,6 +512,14 @@ def _bt_do(state: BeatState, xs: BlockInputs, consts: _BTConstants):
         # exact repeated-addition float ordering without a while_loop.
         for _ in range(24):
             beat0 = jnp.where(beat0 + bp < 0.0, beat0 + bp, beat0)
+        if os.environ.get("BLISS_CHECKS") == "1":
+            # debug mode: if the bp>=25 / phase<=513 invariant above ever
+            # breaks (e.g. bp in (0, 25·2^-32)), the unroll would diverge
+            # from the reference's unbounded loop — poison the result so
+            # tests fail loudly instead of silently skewing the tempo
+            beat0 = jnp.where(
+                beat0 + bp < 0.0, jnp.float32(jnp.nan), beat0
+            )
 
         # emit beats: first if beat >= 0, then while beat + bp <= step
         def emit(carry, _):

@@ -154,8 +154,10 @@ def masked_quantile_midpoint(
     on the sorted valid values (used for the BPM median at
     src/temporal.rs:71-76 and the tuning threshold at src/chroma.rs:381-384).
     Large inputs use exact bisection selection instead of a full sort.
-    Returns NaN-free garbage when no entry is valid — gate on `mask.any()`
-    at the caller.
+    An all-False mask returns +inf on every path (the sort path fills
+    with +inf naturally; the bisect path is guarded so both backends
+    agree on the degenerate case) — still gate on `mask.any()` at the
+    caller when +inf is not a usable sentinel.
     """
     n = jnp.sum(mask.astype(jnp.int32), axis=-1)
     pos = (n - 1).astype(jnp.float32) * q
@@ -165,7 +167,10 @@ def masked_quantile_midpoint(
         vlo, vhi = _kth_smallest_bisect_unrolled_pair(
             values, mask, lo_k, hi_k
         )
-        return (vlo + vhi) * jnp.asarray(0.5, values.dtype)
+        mid = (vlo + vhi) * jnp.asarray(0.5, values.dtype)
+        # empty mask: the bisect converges into the all-ones (NaN) key
+        # range; pin it to the sort path's +inf so the backends agree
+        return jnp.where(n > 0, mid, jnp.asarray(jnp.inf, values.dtype))
     big = jnp.asarray(jnp.inf, values.dtype)
     filled = jnp.where(mask, values, big)
     s = jnp.sort(filled, axis=-1)

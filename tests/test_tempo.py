@@ -37,3 +37,17 @@ def test_tempo_boundaries():
     one = np.concatenate([np.zeros(6989, np.float32), np.ones(20, np.float32)])
     sig = np.tile(one, 500)
     assert abs(_tempo(sig) - 0.86) < 0.01
+
+
+def test_unroll_invariant_check_mode(monkeypatch):
+    """BLISS_CHECKS=1 poisons the beat phase with NaN if the unrolled
+    `while beat + bp < 0` bound is ever violated; a normal signal must
+    stay finite (the invariant holds)."""
+    monkeypatch.setenv("BLISS_CHECKS", "1")
+    rng = np.random.default_rng(0)
+    t = 1 << 15
+    click = np.zeros(t, np.float32)
+    click[:: 11025] = 1.0  # 120 BPM click track
+    sig = click + 0.01 * rng.normal(size=t).astype(np.float32)
+    out = np.asarray(tempo_feature(jnp.asarray(sig), t))
+    assert np.isfinite(out)
