@@ -5,11 +5,16 @@ library, ~3.0 songs/s on an all-cores desktop with the FFmpeg decoder
 (reference README.md:158-160; BASELINE.md). Prints ONE JSON line:
 
     {"metric": "songs_per_sec", "value": N, "unit": "songs/s",
-     "vs_baseline": N/3.0}
+     "vs_baseline": N/3.0, "audio_secs_per_sec": ..., "median_...": ...}
 
-The workload decodes real audio fixtures (a mix of lengths/codecs) on
-host threads and runs the fused analyzer per song on the device, the
-same path `Decoder.analyze_paths` uses.
+The workload decodes FULL-LENGTH audio (2.8-4.7 min songs, mean ~216 s —
+generated once by benches/fixtures.py so the mix matches a real library,
+not the repo's ~11 s test clips) on host threads and runs the fused
+analyzer in device batches, the same path `Library.analyze_paths` uses.
+`value` is the best pass (the tunneled-TPU link's bandwidth swings ~30x
+on a minutes timescale — PERF.md §9); the median pass and
+audio-seconds-per-second are reported alongside so the number can't
+flatter via short songs or a lucky phase window alone.
 """
 
 import json
@@ -24,7 +29,7 @@ BASELINE_SONGS_PER_SEC = 3.0  # reference README: 10k songs in ~56 min
 
 
 def main():
-    n_songs = int(os.environ.get("BLISS_BENCH_SONGS", "32"))
+    n_songs = int(os.environ.get("BLISS_BENCH_SONGS", "24"))
 
     # persistent compile cache: the axon remote-compile path is slow and
     # erratic; caching makes repeat bench runs measure compute, not XLA
@@ -39,17 +44,12 @@ def main():
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    from benches.fixtures import ensure_bench_fixtures
     from bliss_tpu.io.batch import analyze_paths_batched
     from bliss_tpu.io.decoder import FFmpegDecoder
     from bliss_tpu.song import AnalysisOptions, Song
 
-    fixtures = [
-        DATA / "s16_mono_22_5kHz.flac",
-        DATA / "s32_stereo_44_1_kHz.flac",
-        DATA / "piano.flac",
-        DATA / "s32_stereo_44_1_kHz.mp3",
-        DATA / "5_mins_of_noise_stereo_48kHz.ogg",
-    ]
+    fixtures = ensure_bench_fixtures()
     paths = [fixtures[i % len(fixtures)] for i in range(n_songs)]
 
     # warm up the compile caches (one batch per distinct bucket)
@@ -79,7 +79,7 @@ def main():
     # runaway guard, not the sampling driver).
     budget_s = float(os.environ.get("BLISS_BENCH_BUDGET_S", "240"))
     max_passes = int(os.environ.get("BLISS_BENCH_PASSES", "48"))
-    elapsed = None
+    pass_times = []
     t_begin = time.perf_counter()
     for i in range(max_passes):
         if i >= 3 and time.perf_counter() - t_begin > budget_s:
@@ -89,9 +89,11 @@ def main():
             analyze_paths_batched(FFmpegDecoder, paths, AnalysisOptions())
         )
         run = time.perf_counter() - start
-        elapsed = run if elapsed is None else min(elapsed, run)
+        pass_times.append(run)
         if os.environ.get("BLISS_BENCH_VERBOSE"):
             print(f"# pass {i}: {run:.2f}s", file=sys.stderr)
+    elapsed = min(pass_times)
+    median = sorted(pass_times)[len(pass_times) // 2]
     if decode_s is not None:
         print(
             f"# decode-only: {decode_s:.2f}s; decode+analyze (best pass): "
@@ -101,6 +103,9 @@ def main():
 
     ok = sum(1 for _, r in results if isinstance(r, Song))
     assert ok == n_songs, f"only {ok}/{n_songs} songs analyzed"
+    audio_secs = sum(
+        r.duration for _, r in results if isinstance(r, Song)
+    )
     songs_per_sec = n_songs / elapsed
     print(
         json.dumps(
@@ -109,6 +114,11 @@ def main():
                 "value": round(songs_per_sec, 3),
                 "unit": "songs/s",
                 "vs_baseline": round(songs_per_sec / BASELINE_SONGS_PER_SEC, 3),
+                "mean_song_secs": round(audio_secs / n_songs, 1),
+                "audio_secs_per_sec": round(audio_secs / elapsed, 1),
+                "median_songs_per_sec": round(n_songs / median, 3),
+                "median_audio_secs_per_sec": round(audio_secs / median, 1),
+                "passes": len(pass_times),
             }
         )
     )
@@ -125,6 +135,13 @@ def _run_with_watchdog():
     """
     import subprocess
     import threading
+
+    # generate the full-length fixtures in the parent (pure host work, no
+    # TPU contention) so the child's warmup deadline only covers
+    # decode+compile, not a one-time ~3 min synthesis+encode
+    from benches.fixtures import ensure_bench_fixtures
+
+    ensure_bench_fixtures()
 
     limit = float(os.environ.get("BLISS_BENCH_WATCHDOG_S", "900"))
     # a wedged connection never reaches the child's "# warmup done"

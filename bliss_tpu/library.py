@@ -23,7 +23,7 @@ import pathlib
 import sqlite3
 import threading
 from dataclasses import dataclass, field
-from typing import Callable, Iterable, List, Optional, Sequence
+from typing import Callable, Iterable, List, NamedTuple, Optional, Sequence
 
 import numpy as np
 
@@ -348,6 +348,19 @@ def _path_str(song_path) -> str:
     return s
 
 
+class _LibCache(NamedTuple):
+    """Cached query-side view of the library (see `_cached_library`)."""
+
+    version: int
+    songs: list
+    mat: np.ndarray  # [N_pad, F], rows >= n are zero padding
+    dev: object  # device-resident (possibly sharded) form, lazy
+    n: int
+    path_index: dict  # str(path) -> row
+    titles: np.ndarray  # [N] object
+    artists: np.ndarray  # [N] object
+
+
 class Library:
     """A collection of analyzed [Song]s backed by SQLite
     (src/library.rs:426-1750)."""
@@ -486,21 +499,51 @@ class Library:
             except BlissError:
                 raise ProviderError(f"song '{p}' has not been analyzed")
         path_set = set(str(p) for p in initial_song_paths)
-        songs, _, n_real = self._cached_library()
-        mask = np.zeros(len(songs), bool)
-        for i, s in enumerate(songs):
-            mask[i] = str(s.bliss_song.path) not in path_set
+        songs, mat, n_real = self._cached_library()
+        cache = self._matrix_cache
+        mask = np.ones(len(songs), bool)
+        for p in path_set:
+            i = cache.path_index.get(p)
+            if i is not None:
+                mask[i] = False
         ordered = None
+        playlist_matrix = None
+        playlist_meta = None
         if sort_by is closest_to_songs or sort_by is song_to_song:
             order = self._device_query_order(sort_by, initial, distance, mask)
             if order is not None:
+                order = np.asarray(order, np.int64)
                 ordered = [songs[i] for i in order]
+                initial_vecs = np.stack(
+                    [
+                        np.asarray(
+                            s.bliss_song.analysis.as_arr1(), np.float32
+                        )
+                        for s in initial
+                    ]
+                ) if initial else np.zeros((0, mat.shape[1]), np.float32)
+                playlist_matrix = np.concatenate(
+                    [initial_vecs, mat[order]]
+                )
+                init_titles = np.array(
+                    [s.bliss_song.title for s in initial], object
+                )
+                init_artists = np.array(
+                    [s.bliss_song.artist for s in initial], object
+                )
+                playlist_meta = (
+                    np.concatenate([init_titles, cache.titles[order]]),
+                    np.concatenate([init_artists, cache.artists[order]]),
+                )
         if ordered is None:
             pool = [s for s, m in zip(songs, mask) if m]
             ordered = list(sort_by(initial, pool, distance))
         playlist = initial + ordered
         if deduplicate:
-            playlist = dedup_playlist_custom_distance(playlist, None, distance)
+            playlist = dedup_playlist_custom_distance(
+                playlist, None, distance,
+                _matrix=playlist_matrix, _metadata=playlist_meta,
+            )
         return playlist
 
     def _device_query_order(self, sort_by, initial, distance, mask):
@@ -900,7 +943,9 @@ class Library:
             )
         return song
 
-    def _song_from_row(self, row) -> LibrarySong:
+    def _song_from_row(
+        self, row, features=None, features_version=None
+    ) -> LibrarySong:
         (
             path, artist, title, album, album_artist, track_number,
             disc_number, genre, duration, version, extra_info, cue_path,
@@ -912,7 +957,16 @@ class Library:
                 cue_path=pathlib.Path(cue_path),
                 audio_file_path=pathlib.Path(audio_file_path),
             )
-        fv = FeaturesVersion.from_int(version)
+        if features_version is not None:
+            fv = features_version
+            # bulk loader: `features` is a validated row of the cached
+            # matrix — skip the per-song conversion/validation
+            analysis = Analysis._unchecked(features, fv)
+        else:
+            fv = FeaturesVersion.from_int(version)
+            if features is None:
+                features = np.zeros(fv.feature_count, np.float32)
+            analysis = Analysis(features, fv)
         song = Song(
             path=pathlib.Path(path),
             artist=artist,
@@ -922,14 +976,16 @@ class Library:
             track_number=track_number,
             disc_number=disc_number,
             genre=genre,
-            analysis=Analysis(np.zeros(fv.feature_count, np.float32), fv),
+            analysis=analysis,
             duration=duration or 0.0,
             features_version=fv,
             cue_info=cue_info,
         )
         # sqlite's NUMERIC affinity on the `json` column can hand back
         # ints/floats, and legacy rows may hold non-JSON text — be lenient
-        if isinstance(extra_info, str):
+        if extra_info is None or extra_info == "null":
+            extra = None
+        elif isinstance(extra_info, str):
             try:
                 extra = json.loads(extra_info)
             except json.JSONDecodeError:
@@ -992,20 +1048,79 @@ class Library:
         """(songs, [N_pad, F] matrix, n_real) of all analyzed songs at the
         configured version; N is padded up to a mesh multiple so the
         device form can be row-sharded (padded rows are masked out of
-        every query)."""
+        every query).
+
+        Bulk-loads the feature column straight into the `[N, F]` matrix
+        (one reshape, no per-song Python lists) — at a 100k-song library
+        the per-row zipper the generic `songs_from_library` uses costs
+        more than the whole device query."""
         version = int(self.config.analysis_options.features_version)
         cache = self._matrix_cache
-        if cache is not None and cache[0] == version:
-            return cache[1], cache[2], cache[4]
-        songs = self.songs_from_library()
+        if cache is not None and cache.version == version:
+            return cache.songs, cache.mat, cache.n
         n_features = FeaturesVersion.from_int(version).feature_count
-        n = len(songs)
+        with self._lock:
+            song_rows = self.sqlite_conn.execute(
+                f"""
+                select {_SONG_COLUMNS}, id
+                    from song where analyzed = true and version = ?
+                    order by id
+                """,
+                (version,),
+            ).fetchall()
+            feat_rows = self.sqlite_conn.execute(
+                """
+                select song_id, feature from feature
+                    join song on song.id = feature.song_id
+                    where song.analyzed = true and song.version = ?
+                    order by song_id, feature_index
+                """,
+                (version,),
+            ).fetchall()
+        n = len(song_rows)
         n_dev = self._query_device_count()
         n_pad = -(-max(n, 1) // n_dev) * n_dev
         mat = np.zeros((n_pad, n_features), np.float32)
+        if feat_rows or song_rows:
+            pairs = np.asarray(feat_rows, np.float64)
+            song_ids = np.asarray([r[13] for r in song_rows], np.int64)
+            # count + block-start alignment: any per-song feature-count
+            # drift shifts some block start, so checking every
+            # n_features-th id is equivalent to the full per-row check
+            ok = pairs.shape[0] == n * n_features and (
+                n == 0
+                or bool(
+                    np.all(
+                        pairs[::n_features, 0].astype(np.int64) == song_ids
+                    )
+                )
+            )
+            if not ok:
+                # fall back to the per-song zipper purely to produce the
+                # reference's precise per-song error
+                self.songs_from_library()
+                raise ProviderError(
+                    "Library features are inconsistent. Please rescan or "
+                    "update the song library."
+                )
+            if n:
+                mat[:n] = pairs[:, 1].reshape(n, n_features)
+        fv = FeaturesVersion.from_int(version)
+        songs = [
+            self._song_from_row(row, features=mat[i], features_version=fv)
+            for i, row in enumerate(song_rows)
+        ]
+        path_index = {
+            str(s.bliss_song.path): i for i, s in enumerate(songs)
+        }
+        titles = np.empty(n, object)
+        artists = np.empty(n, object)
         for i, s in enumerate(songs):
-            mat[i] = np.asarray(s.bliss_song.analysis.as_arr1(), np.float32)
-        self._matrix_cache = (version, songs, mat, None, n)
+            titles[i] = s.bliss_song.title
+            artists[i] = s.bliss_song.artist
+        self._matrix_cache = _LibCache(
+            version, songs, mat, None, n, path_index, titles, artists
+        )
         return songs, mat, n
 
     @staticmethod
@@ -1020,9 +1135,9 @@ class Library:
         """The cached feature matrix resident on device — row-sharded
         over a 1-D mesh when more than one device is visible (the
         sharded-distance path of SURVEY §2.3), single-device otherwise."""
-        songs, mat, n_real = self._cached_library()
-        version, _, _, dev, _ = self._matrix_cache
-        if dev is None:
+        self._cached_library()
+        cache = self._matrix_cache
+        if cache.dev is None:
             import jax
 
             n_dev = self._query_device_count()
@@ -1035,12 +1150,13 @@ class Library:
                     np.array(jax.devices()[:n_dev]), ("songs",)
                 )
                 dev = jax.device_put(
-                    mat, NamedSharding(mesh, P("songs", None))
+                    cache.mat, NamedSharding(mesh, P("songs", None))
                 )
             else:
-                dev = jax.device_put(mat)
-            self._matrix_cache = (version, songs, mat, dev, n_real)
-        return dev
+                dev = jax.device_put(cache.mat)
+            cache = cache._replace(dev=dev)
+            self._matrix_cache = cache
+        return cache.dev
 
     # --- storage ----------------------------------------------------------------
 

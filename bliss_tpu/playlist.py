@@ -492,34 +492,134 @@ def dedup_playlist(playlist, distance_threshold: Optional[float] = None):
     )
 
 
+def _rowwise_distances(a: np.ndarray, b: np.ndarray, metric):
+    """dist(a[i], b[i]) for the GEMM-able function metrics, or None."""
+    m = getattr(metric, "weight_matrix", None)
+    if metric is euclidean_distance:
+        d = a - b
+        return np.sqrt(np.sum(d * d, axis=1))
+    if m is not None:
+        d = a - b
+        return np.sqrt(np.maximum(np.sum((d @ m) * d, axis=1), 0.0))
+    if metric is cosine_distance:
+        na = np.sqrt(np.sum(a * a, axis=1))
+        nb = np.sqrt(np.sum(b * b, axis=1))
+        return 1.0 - np.sum(a * b, axis=1) / (na * nb)
+    return None
+
+
 def dedup_playlist_custom_distance(
-    playlist, distance_threshold: Optional[float], metric_builder
+    playlist, distance_threshold: Optional[float], metric_builder,
+    _matrix: Optional[np.ndarray] = None, _metadata=None,
 ):
     """Drop consecutive songs closer than `distance_threshold` (default
     0.05) or sharing a non-empty title+artist (src/playlist.rs:367-402).
-    Returns a list."""
+    Returns a list.
+
+    For the GEMM-able function metrics the walk precomputes all
+    consecutive-pair distances in one vectorized pass; scalar re-checks
+    happen only after a drop (where `current` stays put and the
+    precomputed pair no longer applies) — exact reference semantics at
+    batch speed on 100k-song playlists. `_matrix` optionally supplies the
+    playlist's `[N, F]` vectors (row i = playlist[i]) and `_metadata` its
+    `(titles, artists)` object arrays, so callers holding a cached
+    library view skip the per-song restack/property churn.
+    """
     threshold = 0.05 if distance_threshold is None else distance_threshold
     builder = _as_builder(metric_builder)
-    out = []
-    it = iter(playlist)
-    try:
-        current = next(it)
-    except StopIteration:
-        return out
-    for nxt in it:
-        metric = builder.build([current.analysis.as_arr1()])
-        same = metric.distance(nxt.analysis.as_arr1()) < threshold or (
-            current.title is not None
-            and nxt.title is not None
-            and current.artist is not None
-            and nxt.artist is not None
-            and current.title == nxt.title
-            and current.artist == nxt.artist
+    playlist = list(playlist)
+    if not playlist:
+        return []
+
+    consecutive = None
+    if (
+        not isinstance(metric_builder, DistanceMetricBuilder)
+        and len(playlist) > 64
+    ):
+        mat = _matrix if _matrix is not None else _song_matrix(playlist)
+        consecutive = _rowwise_distances(mat[:-1], mat[1:], metric_builder)
+
+    def pair_distance(i_cur, i_nxt):
+        if consecutive is not None and i_nxt == i_cur + 1:
+            return float(consecutive[i_cur])
+        metric = builder.build([playlist[i_cur].analysis.as_arr1()])
+        return metric.distance(playlist[i_nxt].analysis.as_arr1())
+
+    def same_meta(a, b):
+        return (
+            a.title is not None
+            and b.title is not None
+            and a.artist is not None
+            and b.artist is not None
+            and a.title == b.title
+            and a.artist == b.artist
         )
-        if not same:
-            out.append(current)
-            current = nxt
-    out.append(current)
+
+    def scalar_same(i_cur, i_nxt):
+        return pair_distance(i_cur, i_nxt) < threshold or same_meta(
+            playlist[i_cur], playlist[i_nxt]
+        )
+
+    n = len(playlist)
+    if consecutive is not None:
+        # vectorized walk: consecutive comparisons are precomputed; the
+        # scalar path only resolves the (rare) runs following a drop,
+        # where `current` stays put and the pair is no longer consecutive
+        if _metadata is not None:
+            titles_a, artists_a = _metadata
+            titles_a = np.asarray(titles_a, object)
+            artists_a = np.asarray(artists_a, object)
+        else:
+            titles_a = np.empty(n, object)
+            artists_a = np.empty(n, object)
+            for i, s in enumerate(playlist):
+                titles_a[i] = s.title
+                artists_a[i] = s.artist
+        not_none = (
+            (titles_a[:-1] != None)  # noqa: E711 — elementwise on object
+            & (titles_a[1:] != None)  # noqa: E711
+            & (artists_a[:-1] != None)  # noqa: E711
+            & (artists_a[1:] != None)  # noqa: E711
+        )
+        meta = (
+            not_none
+            & (titles_a[:-1] == titles_a[1:])
+            & (artists_a[:-1] == artists_a[1:])
+        )
+        base_same = (np.asarray(consecutive) < threshold) | meta
+        if not base_same.any():
+            return playlist
+        flagged = np.flatnonzero(base_same)
+        out = []
+        cur = 0
+        fi = 0
+        while cur < n - 1:
+            while fi < len(flagged) and flagged[fi] < cur:
+                fi += 1
+            stop = int(flagged[fi]) if fi < len(flagged) else n - 1
+            # clean run: every comparison in [cur, stop) advances
+            out.extend(playlist[cur:stop])
+            cur = stop
+            if cur >= n - 1:
+                break
+            # base_same[cur] holds: drop cur+1, then resolve scalar-wise
+            nxt = cur + 2
+            while nxt < n and scalar_same(cur, nxt):
+                nxt += 1
+            if nxt >= n:
+                break  # everything to the end duplicated `cur`
+            out.append(playlist[cur])
+            cur = nxt
+        out.append(playlist[cur])
+        return out
+
+    out = []
+    cur = 0
+    for nxt in range(1, n):
+        if not scalar_same(cur, nxt):
+            out.append(playlist[cur])
+            cur = nxt
+    out.append(playlist[cur])
     return out
 
 

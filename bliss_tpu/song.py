@@ -79,6 +79,15 @@ class Analysis:
         self._vec = vec
         self.features_version = features_version
 
+    @classmethod
+    def _unchecked(cls, vec: np.ndarray, features_version) -> "Analysis":
+        """Wrap a pre-validated f32 row without conversion/validation —
+        the bulk library loader constructs 100k of these per cache build."""
+        self = cls.__new__(cls)
+        self._vec = vec
+        self.features_version = features_version
+        return self
+
     def as_vec(self) -> list:
         return [float(x) for x in self._vec]
 

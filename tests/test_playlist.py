@@ -263,3 +263,70 @@ def test_forest_options_musical_ground_truth(data_dir):
     playlist = closest_to_songs(mozart19, songs, opts)
     tail = {str(s.path) for s in playlist[-5:]}
     assert tail == {f"kob-{i}" for i in range(5)}
+
+
+def _naive_dedup(playlist, threshold, metric):
+    """Straight transcription of src/playlist.rs:367-402 as ground truth."""
+    from bliss_tpu.playlist import _as_builder
+
+    builder = _as_builder(metric)
+    out = []
+    it = iter(playlist)
+    try:
+        current = next(it)
+    except StopIteration:
+        return out
+    for nxt in it:
+        m = builder.build([current.analysis.as_arr1()])
+        same = m.distance(nxt.analysis.as_arr1()) < threshold or (
+            current.title is not None
+            and nxt.title is not None
+            and current.artist is not None
+            and nxt.artist is not None
+            and current.title == nxt.title
+            and current.artist == nxt.artist
+        )
+        if not same:
+            out.append(current)
+            current = nxt
+    out.append(current)
+    return out
+
+
+@pytest.mark.parametrize("metric_name", ["euclidean", "cosine"])
+def test_dedup_vectorized_matches_naive(metric_name):
+    from bliss_tpu.playlist import (
+        cosine_distance,
+        dedup_playlist_custom_distance,
+        euclidean_distance,
+    )
+
+    metric = (
+        euclidean_distance if metric_name == "euclidean" else cosine_distance
+    )
+    rng = np.random.default_rng(17)
+    for trial in range(8):
+        n = int(rng.integers(65, 400))  # >64: the vectorized path
+        vecs = rng.uniform(-1, 1, size=(n, 23)).astype(np.float32)
+        # inject duplicate runs: copies of a previous vector (chains too)
+        for _ in range(int(rng.integers(1, 20))):
+            i = int(rng.integers(1, n))
+            run = int(rng.integers(1, 4))
+            for j in range(i, min(n, i + run)):
+                vecs[j] = vecs[i - 1] + rng.normal(0, 1e-4, 23).astype(
+                    np.float32
+                )
+        songs = []
+        for i in range(n):
+            meta_dup = rng.random() < 0.05
+            songs.append(
+                Song(
+                    path=pathlib.Path(f"/pl/{trial}/{i}.flac"),
+                    title="t0" if meta_dup else f"t{i}",
+                    artist="a0" if meta_dup else f"a{i}",
+                    analysis=Analysis(vecs[i], FeaturesVersion.VERSION2),
+                )
+            )
+        got = dedup_playlist_custom_distance(songs, None, metric)
+        want = _naive_dedup(songs, 0.05, metric)
+        assert [str(s.path) for s in got] == [str(s.path) for s in want]
