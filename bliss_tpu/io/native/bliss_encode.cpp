@@ -11,6 +11,7 @@
 // Usage:
 //   bliss_encode <in.f32le> <out.{flac,mp3,ogg,m4a,wav,...}>
 //                <sample_rate> <channels> [codec_name] [bit_rate]
+//                [key=value ...codec private options]
 //
 // The container is inferred from the output extension; the codec
 // defaults to the container's default audio codec (pass e.g. "alac" to
@@ -27,6 +28,7 @@ extern "C" {
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <string>
 #include <vector>
 
 static int die(const char *msg, int err = 0) {
@@ -91,8 +93,19 @@ int main(int argc, char **argv) {
   if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
     enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
 
-  ret = avcodec_open2(enc, codec, nullptr);
+  AVDictionary *opts = nullptr;
+  for (int i = 7; i < argc; i++) {
+    const char *eq = strchr(argv[i], '=');
+    if (!eq) return die("codec option must be key=value");
+    std::string key(argv[i], eq - argv[i]);
+    av_dict_set(&opts, key.c_str(), eq + 1, 0);
+  }
+  ret = avcodec_open2(enc, codec, &opts);
   if (ret < 0) return die("cannot open encoder", ret);
+  const AVDictionaryEntry *left = nullptr;
+  while ((left = av_dict_get(opts, "", left, AV_DICT_IGNORE_SUFFIX)))
+    fprintf(stderr, "bliss_encode: unrecognized option '%s'\n", left->key);
+  av_dict_free(&opts);
 
   AVStream *st = avformat_new_stream(fmt, nullptr);
   if (!st) return die("new stream");
