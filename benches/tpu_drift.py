@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""TPU-vs-CPU drift audit over the full fixture corpus.
+
+Runs every decodable fixture (incl. the triad/interval OGGs, boundary
+tone/silence files and the CUE album) through BOTH production analyzer
+paths — the CPU/x64 golden pipeline in a child process, the real-TPU
+f32 pipeline in this one — and prints a per-feature drift histogram.
+The recorded summary lives in PERF.md (round 3); the BASELINE contract
+is <=1e-4 per feature.
+
+Usage (on the TPU host): python benches/tpu_drift.py
+"""
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+DATA = REPO / "tests" / "data"
+
+CORPUS = sorted(
+    [
+        p
+        for p in list(DATA.glob("*.flac"))
+        + list(DATA.glob("*.mp3"))
+        + list(DATA.glob("*.ogg"))
+        + list(DATA.glob("*.wav"))
+        + list((DATA / "chroma").glob("*.ogg"))
+        if p.name not in ("empty.wav",)
+    ]
+) + [DATA / "testcue.cue"]
+
+
+def _analyze_corpus() -> dict:
+    """path -> [23] features via the current backend's production path."""
+    from bliss_tpu.io.batch import analyze_paths_batched
+    from bliss_tpu.io.decoder import FFmpegDecoder
+    from bliss_tpu.song import Song
+
+    out = {}
+    for path, result in analyze_paths_batched(FFmpegDecoder, CORPUS):
+        if isinstance(result, Song):
+            out[str(path)] = np.asarray(
+                result.analysis.as_arr1(), np.float64
+            ).tolist()
+        else:
+            out[str(path)] = None  # expected failures (too short etc.)
+    return out
+
+
+def main():
+    if os.environ.get("BLISS_DRIFT_CHILD") == "1":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+        print(json.dumps(_analyze_corpus()))
+        return
+
+    # CPU/x64 reference in a child (one process = one backend)
+    env = dict(os.environ, BLISS_DRIFT_CHILD="1")
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        stdout=subprocess.PIPE,
+        text=True,
+        check=True,
+    )
+    reference = json.loads(proc.stdout.strip().splitlines()[-1])
+
+    for kind, enforce in (("f32", True), ("i16b", False)):
+        os.environ["BLISS_UPLOAD"] = kind
+        tpu = _analyze_corpus()
+
+        drifts = []
+        per_file = []
+        for key, ref in sorted(reference.items()):
+            got = tpu.get(key)
+            if ref is None or got is None:
+                status = (
+                    "both-failed" if ref == got else "MISMATCHED-FAILURE"
+                )
+                per_file.append((key, None, status))
+                continue
+            err = np.abs(np.asarray(got) - np.asarray(ref))
+            drifts.append(err)
+            per_file.append((key, float(err.max()), ""))
+
+        all_err = np.concatenate(drifts)
+        print(
+            f"\n=== wire={kind}: {len(per_file)} entries, "
+            f"{len(drifts)} analyzed ==="
+        )
+        for key, mx, note in per_file:
+            name = pathlib.Path(key).name or key
+            if mx is None:
+                print(f"  {name:32s} {note or 'failed on both (expected)'}")
+            else:
+                print(f"  {name:32s} max drift {mx:.2e}")
+        print("per-feature drift histogram:")
+        edges = [0, 1e-7, 1e-6, 1e-5, 1e-4, 1e-3, 1]
+        hist, _ = np.histogram(all_err, bins=edges)
+        for lo, hi, c in zip(edges, edges[1:], hist):
+            print(f"  [{lo:7.0e}, {hi:7.0e}): {c}")
+        print(
+            f"max {all_err.max():.3e}  p99 {np.percentile(all_err, 99):.3e}"
+            f"  median {np.median(all_err):.3e}  (contract: 1e-4)"
+        )
+        if enforce:
+            # the exact-f32 wire isolates ANALYZER drift: the contract
+            # applies here; the i16b pass reports the driver's quantized
+            # wire envelope (<=2.4e-4 on threshold-counting features)
+            assert all_err.max() < 1e-4, "accuracy contract violated"
+
+
+if __name__ == "__main__":
+    main()

@@ -111,19 +111,26 @@ def sharded_chroma_features(
 ) -> np.ndarray:
     """Chroma features of one long `[T]` signal, time-sharded over `mesh`.
 
-    `T` must be divisible by the mesh size; frames are partitioned evenly
-    (the total frame count is padded up to a multiple of the mesh size and
-    masked).
+    Any `T`: the signal is zero-padded up to a mesh multiple (and to the
+    minimum viable shard size); padded samples/frames are masked out via
+    `length`, so results match the single-device chroma path exactly.
     """
     from jax import shard_map
 
     axis = mesh.axis_names[0]
     d_count = mesh.size
     t = signal.shape[-1]
-    assert t % d_count == 0, "signal length must divide the mesh size"
-    shard_len = t // d_count
     halo = WINDOW + HOP  # covers window overhang + reflect margin
-    assert shard_len >= halo, "shards must be at least window+hop long"
+    shard_len = max(-(-t // d_count), halo)
+    t_pad = shard_len * d_count
+    if t_pad != t:
+        signal = np.concatenate(
+            [
+                np.asarray(signal, np.float32),
+                np.zeros(t_pad - t, np.float32),
+            ]
+        )
+        t = t_pad
 
     n_frames = int(n_frames_stft(t, HOP))
     frames_per_shard = -(-n_frames // d_count)

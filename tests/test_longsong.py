@@ -55,3 +55,26 @@ def test_sharded_real_song(mesh, decoded_s16_mono):
     out = sharded_chroma_features(mesh, sig, n)
     ref = _single(sig, n)
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_sharded_non_divisible_length(mesh):
+    """T not a mesh multiple: the pad+mask path must match exactly."""
+    rng = np.random.default_rng(3)
+    t = 8 * 32768 + 12345  # ragged
+    sig = (rng.normal(size=t) * 0.1).astype(np.float32)
+    sig += 0.2 * np.sin(
+        2 * np.pi * 523.25 * np.arange(t) / 22050.0
+    ).astype(np.float32)
+    out = sharded_chroma_features(mesh, sig, t)
+    ref = _single(sig, t)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_sharded_short_signal(mesh):
+    """A signal shorter than mesh*min-shard still works (pad-to-viable)."""
+    rng = np.random.default_rng(4)
+    t = 30011  # < 8 * (8192+2205)
+    sig = (rng.normal(size=t) * 0.1).astype(np.float32)
+    out = sharded_chroma_features(mesh, sig, t)
+    ref = _single(sig, t)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
