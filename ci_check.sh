@@ -11,8 +11,9 @@ try2() {
     timeout 900 "$@" || { echo "== retrying (wedged tunnel?): $*"; timeout 900 "$@"; }
 }
 
-echo "== build native decoder"
+echo "== build native decoder + fixture encoder"
 make -C bliss_tpu/io/native
+make -C bliss_tpu/io/native encoder
 
 echo "== native decoder sanitizer smoke (ASAN+UBSAN)"
 make -C bliss_tpu/io/native asan
