@@ -64,9 +64,16 @@ WIRE_CHUNK = 1 << 20
 
 
 def _upload_kind() -> str:
-    """Wire format: exact f32 on CPU (golden parity), quantized on TPU."""
+    """Wire format: exact f32 on CPU (golden parity), quantized on TPU.
+
+    `i16b` (default on TPU, 2.004 B/sample) is bit-exact for s16-grid
+    sources and ≤2^-15·blockpeak otherwise — its mantissa floor can
+    shift spectral-flatness on quiet lossy-source passages by up to
+    ~1.5e-2 (PERF.md §27). `i24b` (3.008 B/sample) lowers that floor by
+    48 dB for ~50% more wire.
+    """
     kind = os.environ.get("BLISS_UPLOAD")
-    if kind in ("f32", "i16b"):
+    if kind in ("f32", "i16b", "i24b"):
         return kind
     import jax
 
@@ -110,6 +117,38 @@ def _quantize_i16b(
     return i16, e8
 
 
+def _quantize_i24b(
+    samples: np.ndarray, padded_len: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """24-bit block-floating-point: int16 high mantissa + uint8 low byte
+    + int8 exponent per block. Same scheme as `_quantize_i16b` with
+    2^23-scaled mantissas — rounding error ≤ blockpeak·2^-23, below the
+    f32 DFT's own noise floor, so features match the exact-f32 wire."""
+    n = samples.shape[0]
+    hi = np.zeros(padded_len, np.int16)
+    lo = np.zeros(padded_len, np.uint8)
+    e8 = np.zeros(padded_len // WIRE_BLOCK, np.int8)
+    nb = (n + WIRE_BLOCK - 1) // WIRE_BLOCK
+    xb = np.zeros((nb, WIRE_BLOCK), np.float32)
+    xb.reshape(-1)[:n] = samples
+    peak = np.abs(xb).max(axis=1)
+    e = np.ceil(np.log2(np.maximum(peak, 2.0**-100))).astype(np.int32)
+    np.clip(e, -100, 100, out=e)
+    qpeak = np.round(
+        xb.max(axis=1).astype(np.float64) * np.exp2(23.0 - e)
+    )
+    e = np.where(qpeak > float(2**23 - 1), e + 1, e)
+    np.clip(e, -100, 100, out=e)
+    # f64 staging: 2^23-scale products overflow f32's 24-bit mantissa
+    q = np.round(xb.astype(np.float64) * np.exp2(23.0 - e)[:, None])
+    np.clip(q, -(2**23), 2**23 - 1, out=q)
+    qi = q.astype(np.int32).reshape(-1)[: nb * WIRE_BLOCK]
+    hi[: nb * WIRE_BLOCK] = (qi >> 8).astype(np.int16)
+    lo[: nb * WIRE_BLOCK] = (qi & 0xFF).astype(np.uint8)
+    e8[:nb] = e.astype(np.int8)
+    return hi, lo, e8
+
+
 def _chunk_bounds(padded_len: int) -> List[Tuple[int, int]]:
     return [
         (lo, min(lo + WIRE_CHUNK, padded_len))
@@ -130,6 +169,18 @@ def _upload_song(samples: np.ndarray, padded_len: int, kind: str, device=None):
             jax.device_put(buf[lo:hi], device)
             for lo, hi in _chunk_bounds(padded_len)
         )
+    if kind == "i24b":
+        hi16, lo8, e8 = _quantize_i24b(samples, padded_len)
+        handles = [
+            jax.device_put(hi16[lo:hi], device)
+            for lo, hi in _chunk_bounds(padded_len)
+        ]
+        handles += [
+            jax.device_put(lo8[lo:hi], device)
+            for lo, hi in _chunk_bounds(padded_len)
+        ]
+        handles.append(jax.device_put(e8, device))
+        return tuple(handles)
     i16, e8 = _quantize_i16b(samples, padded_len)
     handles = [
         jax.device_put(i16[lo:hi], device)
@@ -174,7 +225,32 @@ def _slot_device(b: int, slot: int):
 
 def _handles_per_song(padded_len: int, kind: str) -> int:
     n_chunks = len(_chunk_bounds(padded_len))
-    return n_chunks if kind == "f32" else n_chunks + 1
+    if kind == "f32":
+        return n_chunks
+    if kind == "i24b":
+        return 2 * n_chunks + 1
+    return n_chunks + 1
+
+
+def _dequantize_song(h: tuple, padded_len: int, kind: str):
+    """Rebuild one song's f32 samples from its wire chunk handles
+    (traced; shared by the stacked and per-device-shard programs)."""
+    import jax.numpy as jnp
+
+    if kind == "f32":
+        return jnp.concatenate(h)
+    if kind == "i24b":
+        n_chunks = len(_chunk_bounds(padded_len))
+        hi = jnp.concatenate(h[:n_chunks]).astype(jnp.int32)
+        lo = jnp.concatenate(h[n_chunks : 2 * n_chunks]).astype(jnp.int32)
+        q = (hi * 256 + lo).astype(jnp.float32)
+        scale = jnp.exp2(h[-1].astype(jnp.float32) - 23.0)
+        return (q.reshape(-1, WIRE_BLOCK) * scale[:, None]).reshape(-1)
+    i16 = jnp.concatenate(h[:-1])
+    scale = jnp.exp2(h[-1].astype(jnp.float32) - 15.0)
+    return (
+        i16.astype(jnp.float32).reshape(-1, WIRE_BLOCK) * scale[:, None]
+    ).reshape(-1)
 
 
 @functools.lru_cache(maxsize=128)
@@ -191,20 +267,12 @@ def _compiled_stacked(padded_len: int, b: int, version: int, kind: str):
     per_song = _handles_per_song(padded_len, kind)
 
     def fn(lengths, *parts):
-        songs = []
-        for i in range(b):
-            h = parts[i * per_song : (i + 1) * per_song]
-            if kind == "f32":
-                songs.append(jnp.concatenate(h))
-            else:
-                i16 = jnp.concatenate(h[:-1])
-                scale = jnp.exp2(h[-1].astype(jnp.float32) - 15.0)
-                songs.append(
-                    (
-                        i16.astype(jnp.float32).reshape(-1, WIRE_BLOCK)
-                        * scale[:, None]
-                    ).reshape(-1)
-                )
+        songs = [
+            _dequantize_song(
+                parts[i * per_song : (i + 1) * per_song], padded_len, kind
+            )
+            for i in range(b)
+        ]
         return vmapped(jnp.stack(songs), lengths)
 
     return jax.jit(fn)
@@ -246,20 +314,12 @@ def _compiled_assemble(padded_len: int, spd: int, n_present: int, kind: str):
     per_song = _handles_per_song(padded_len, kind)
 
     def fn(*parts):
-        rows = []
-        for i in range(n_present):
-            h = parts[i * per_song : (i + 1) * per_song]
-            if kind == "f32":
-                rows.append(jnp.concatenate(h))
-            else:
-                i16 = jnp.concatenate(h[:-1])
-                scale = jnp.exp2(h[-1].astype(jnp.float32) - 15.0)
-                rows.append(
-                    (
-                        i16.astype(jnp.float32).reshape(-1, WIRE_BLOCK)
-                        * scale[:, None]
-                    ).reshape(-1)
-                )
+        rows = [
+            _dequantize_song(
+                parts[i * per_song : (i + 1) * per_song], padded_len, kind
+            )
+            for i in range(n_present)
+        ]
         for _ in range(spd - n_present):
             rows.append(jnp.zeros(padded_len, jnp.float32))
         return jnp.stack(rows)

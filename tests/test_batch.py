@@ -230,3 +230,52 @@ def test_batched_multi_device_partial_only(data_dir, monkeypatch):
             single[p].analysis.as_arr1(),
             atol=1e-6,
         )
+
+
+def test_i24b_wire_format_roundtrip():
+    """24-bit block-floating-point: error <= blockpeak * 2^-23, s16-grid
+    content bit-exact, negative low bytes reassembled correctly."""
+    from bliss_tpu.io.batch import WIRE_BLOCK, _quantize_i24b
+
+    rng = np.random.default_rng(3)
+    n = 5 * WIRE_BLOCK + 123
+    x = np.concatenate(
+        [
+            (rng.integers(-32768, 32768, 2 * WIRE_BLOCK) / 32768.0),
+            rng.normal(0, 0.2, 2 * WIRE_BLOCK),
+            np.zeros(WIRE_BLOCK),
+            rng.normal(0, 1e-5, 123),  # very quiet tail block
+        ]
+    ).astype(np.float32)
+    padded = 6 * WIRE_BLOCK
+    hi, lo, e8 = _quantize_i24b(x, padded)
+    q = hi.astype(np.int64) * 256 + lo.astype(np.int64)
+    recon = (
+        q.reshape(-1, WIRE_BLOCK)
+        * np.exp2(e8.astype(np.float64) - 23.0)[:, None]
+    ).reshape(-1)[: x.shape[0]]
+    blocks = x[: 2 * WIRE_BLOCK]
+    np.testing.assert_array_equal(
+        recon[: 2 * WIRE_BLOCK].astype(np.float32), blocks
+    )  # s16 grid: bit-exact
+    peaks = np.abs(x.reshape(-1)[: 5 * WIRE_BLOCK]).reshape(
+        5, WIRE_BLOCK
+    ).max(1)
+    err = np.abs(recon[: 5 * WIRE_BLOCK] - x[: 5 * WIRE_BLOCK]).reshape(
+        5, WIRE_BLOCK
+    ).max(1)
+    assert (err <= peaks * 2.0**-22 + 1e-12).all()
+
+
+def test_batched_i24b_upload_matches_f32(data_dir, monkeypatch):
+    monkeypatch.setenv("BLISS_UPLOAD", "i24b")
+    paths = [data_dir / "s16_mono_22_5kHz.flac", data_dir / "piano.flac"]
+    quant = dict(analyze_paths_batched(FFmpegDecoder, paths, batch_size=2))
+    monkeypatch.setenv("BLISS_UPLOAD", "f32")
+    exact = dict(analyze_paths_batched(FFmpegDecoder, paths, batch_size=2))
+    for p in paths:
+        np.testing.assert_allclose(
+            quant[p].analysis.as_arr1(),
+            exact[p].analysis.as_arr1(),
+            atol=5e-6,
+        )
