@@ -24,6 +24,7 @@ from .reductions import (
     masked_mean,
     masked_std,
     masked_quantile_midpoint,
+    masked_quantile_midpoint_all,
     geometric_mean,
     zero_crossing_count,
     normalize_range,
@@ -44,6 +45,7 @@ __all__ = [
     "masked_mean",
     "masked_std",
     "masked_quantile_midpoint",
+    "masked_quantile_midpoint_all",
     "geometric_mean",
     "zero_crossing_count",
     "normalize_range",
