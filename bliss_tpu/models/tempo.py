@@ -273,10 +273,13 @@ class BlockInputs(NamedTuple):
     the tiny two-state hypothesis machine in the scan.
     """
 
-    acf: jnp.ndarray  # [winlen]
     dfrev: jnp.ndarray  # [winlen]
     rp_if4: jnp.ndarray  # f32 — rp when numelem == 4
     rp_if3: jnp.ndarray  # f32 — rp when numelem == 3
+    ts_if4: jnp.ndarray  # i32 — get_timesig(acf, rp_if4)
+    ts_if3: jnp.ndarray  # i32 — get_timesig(acf, rp_if3)
+    gwv_if4: jnp.ndarray  # [laglen] — flagconst gwv candidate from rp_if4
+    gwv_if3: jnp.ndarray  # [laglen] — flagconst gwv candidate from rp_if3
     comb_u3: jnp.ndarray  # [laglen] unweighted comb, timesig=3
     comb_u4: jnp.ndarray  # [laglen] unweighted comb, timesig=4
 
@@ -326,11 +329,29 @@ def _precompute_blocks(
             jnp.float32(consts.rayparam_trunc),
         )
 
+    rp4 = rp_of(comb_w4)
+    rp3 = rp_of(comb_w3)
+
+    # Everything the scan needs from `rp` has only TWO candidates per
+    # block (timesig 3 vs 4), so the timesig estimate and the flagconst
+    # Gaussian weight vector hoist out of the sequential scan as batched
+    # per-block precomputes — the scan body just selects (checkstate
+    # src/aubio.rs:1167-1205 with gp = rp).
+    g_var = jnp.float32(consts.g_var)
+    j = jnp.arange(laglen, dtype=jnp.float32)
+
+    def gwv_of(rp):
+        diff = (j + 1.0) - rp[:, None]
+        return jnp.exp(-0.5 * diff * diff / (g_var * g_var))
+
     return BlockInputs(
-        acf=acfs,
         dfrev=dfrevs,
-        rp_if4=rp_of(comb_w4),
-        rp_if3=rp_of(comb_w3),
+        rp_if4=rp4,
+        rp_if3=rp3,
+        ts_if4=jax.vmap(_get_timesig)(acfs, rp4.astype(jnp.int32)),
+        ts_if3=jax.vmap(_get_timesig)(acfs, rp3.astype(jnp.int32)),
+        gwv_if4=gwv_of(rp4),
+        gwv_if3=gwv_of(rp3),
         comb_u3=comb_u3,
         comb_u4=comb_u4,
     )
@@ -372,7 +393,7 @@ def _checkstate(state: BeatState, xs: BlockInputs, rp, consts: _BTConstants):
     laglen = consts.laglen
     step = float(consts.step)
     g_var = jnp.float32(consts.g_var)
-    acf = xs.acf
+    sel3 = state.timesig == 3  # which precomputed rp branch fed `rp`
 
     # context-model gp update (comb filterbanks precomputed per block;
     # when gp > 0, timesig is always 3 or 4)
@@ -406,14 +427,14 @@ def _checkstate(state: BeatState, xs: BlockInputs, rp, consts: _BTConstants):
     rp1 = rp
 
     # --- three-way bp/weights selection
-    j = jnp.arange(laglen, dtype=jnp.float32)
     j2 = jnp.arange(2 * laglen, dtype=jnp.float32)
 
-    # branch 1: flagconst — adopt new hypothesis
+    # branch 1: flagconst — adopt new hypothesis. timesig/gwv from the
+    # adopted rp are precomputed per block for both rp branches
+    # (_precompute_blocks), so the scan body only selects.
     gp_c = rp
-    timesig_c = _get_timesig(acf, gp_c.astype(jnp.int32))
-    diff = (j + 1.0) - gp_c
-    gwv_c = jnp.exp(-0.5 * diff * diff / (g_var * g_var))
+    timesig_c = jnp.where(sel3, xs.ts_if3, xs.ts_if4)
+    gwv_c = jnp.where(sel3, xs.gwv_if3, xs.gwv_if4)
     bp_c = gp_c
     phwv_c = jnp.ones((2 * laglen,), jnp.float32)
 
@@ -483,15 +504,28 @@ def _bt_do(state: BeatState, xs: BlockInputs, consts: _BTConstants):
         k_idx = jnp.arange(_MAX_KMAX, dtype=jnp.int32)
         # ROUND(x) = floor(x + 0.5) (src/aubio.rs:1038-1039)
         offs = jnp.floor(bp * k_idx.astype(jnp.float32) + 0.5).astype(jnp.int32)
-        gather_idx = i_idx[:, None] + offs[None, :]
-        ok = (
-            (i_idx[:, None].astype(jnp.float32) < bp)
-            & (i_idx[:, None] < winlen)
-            & (k_idx[None, :] < kmax)
-            & (gather_idx < winlen)
-        )
-        vals = jnp.where(ok, dfrev[jnp.clip(gather_idx, 0, winlen - 1)], 0.0)
-        phout_head = jnp.sum(vals, axis=1)  # [_MAX_PHASE_I]
+        # phout_head[i] = Σ_k ok(i,k) · dfrev[i + offs_k], but NOT as a
+        # data-dependent [i, k] gather — XLA lowers that to thousands of
+        # serialized scalar loads per scan step, and this one expression
+        # was ~100% of the hypothesis scan's device time. Instead build
+        # the selection matrix C[i, j] = Σ_k [j - i == offs_k]·ok(i, k)
+        # from compares against the 21 offsets (static iota difference,
+        # fused elementwise) and take phout_head = C @ dfrev on the MXU.
+        # offs is strictly increasing by ≥25 (bp ≥ 25 post-doubling), so
+        # at most one k matches a given (i, j) and C is effectively 0/1.
+        i_ok_f = i_idx.astype(jnp.float32) < bp
+        d_ij = (
+            jnp.arange(winlen, dtype=jnp.int32)[None, :] - i_idx[:, None]
+        )  # [_MAX_PHASE_I, winlen], static
+        c = jnp.zeros(d_ij.shape, jnp.float32)
+        for k in range(_MAX_KMAX):
+            ok_k = i_ok_f & (k < kmax)  # (gather_idx < winlen) == d_ij match
+            c = c + jnp.where(
+                (d_ij == offs[k]) & ok_k[:, None], 1.0, 0.0
+            )
+        phout_head = jnp.matmul(
+            c, dfrev, precision=jax.lax.Precision.HIGHEST
+        )  # [_MAX_PHASE_I]
         phout = jnp.zeros((winlen,), jnp.float32).at[:_MAX_PHASE_I].set(phout_head)
         # vec_weight truncates to min(len, weights) = 2*laglen entries
         phout = phout.at[: 2 * laglen].mul(state.phwv)
