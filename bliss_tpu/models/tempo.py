@@ -55,6 +55,22 @@ _PP_THRESHOLD = 0.3  # set_threshold for tempo, src/aubio.rs:1347
 _BIQUAD = (0.1599879, 0.31997577, 0.1599879, 0.23484048, 0.0)  # b0 b1 b2 a1 a2
 _BUF = 7  # win_post(5) + win_pre(1) + 1
 
+def _use_fused_specflux() -> bool:
+    """Fused Pallas DFT+SpecFlux kernel on real TPU.
+
+    `BLISS_TEMPO_FUSED=0` falls back to the mags-materializing path
+    (same dispatch conditions as ops.spectral framed_pvoc_mags).
+    """
+    from ..ops import pallas_dft
+    from ..ops.spectral import _use_pallas
+
+    return (
+        os.environ.get("BLISS_TEMPO_FUSED") != "0"
+        and _use_pallas()
+        and pallas_dft.supported(WINDOW_SIZE, HOP_SIZE)
+    )
+
+
 # Beats emitted per beat-tracking cycle are bounded by step/min_bp + 2;
 # with step=128 and bp >= 25 that is at most 7.
 _MAX_BEATS = 8
@@ -154,8 +170,12 @@ def thresholded_series(onset: jnp.ndarray) -> jnp.ndarray:
     `proc[5] - median(proc) - mean(proc) * threshold`."""
     h = onset.shape[0]
     padded = jnp.concatenate([jnp.zeros((_BUF - 1,), onset.dtype), onset])
-    idx = jnp.arange(h)[:, None] + jnp.arange(_BUF)[None, :]
-    windows = padded[idx]  # [H, 7] = onset[h-6..h]
+    # [H, 7] sliding windows as 7 static slices, not an index-matrix
+    # gather (pointwise gathers run ~30x slower than contiguous slices
+    # on TPU — PERF.md round 1 §2)
+    windows = jnp.stack(
+        [padded[i : i + h] for i in range(_BUF)], axis=1
+    )  # [H, 7] = onset[h-6..h]
     proc = _filtfilt7(windows)
     mean = jnp.mean(proc, axis=1)
     median = jnp.median(proc, axis=1)  # odd length: exact middle element
@@ -605,11 +625,21 @@ def tempo_feature(signal: jnp.ndarray, length, sample_rate: int = 22050):
     )
 
     # hop windows: pvoc frame at hop h spans [256(h-1), 256(h+1))
-    mags = framed_pvoc_mags(
-        signal, WINDOW_SIZE, HOP_SIZE, offset=WINDOW_SIZE - HOP_SIZE,
-        n_frames=h_max,
-    )  # [H, 257]
-    onset = onset_function(mags)
+    if _use_fused_specflux():
+        # fused Pallas kernel: the [H, 257] magnitudes never leave VMEM
+        from ..ops.pallas_dft import pallas_frame_dft_specflux
+
+        offset = WINDOW_SIZE - HOP_SIZE
+        onset = pallas_frame_dft_specflux(
+            jnp.concatenate([jnp.zeros((offset,), signal.dtype), signal]),
+            WINDOW_SIZE, HOP_SIZE, h_max,
+        )
+    else:
+        mags = framed_pvoc_mags(
+            signal, WINDOW_SIZE, HOP_SIZE, offset=WINDOW_SIZE - HOP_SIZE,
+            n_frames=h_max,
+        )  # [H, 257]
+        onset = onset_function(mags)
     thresh = thresholded_series(onset)  # [H]
 
     # silence gate sees the raw (non-slid) 512-sample window at hop h

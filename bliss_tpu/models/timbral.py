@@ -26,6 +26,24 @@ WINDOW_SIZE = 512  # src/timbral.rs:40
 HOP_SIZE = WINDOW_SIZE // 4  # 128, src/timbral.rs:41
 
 
+def _use_fused_descriptors() -> bool:
+    """Fused Pallas DFT+descriptor kernel on real TPU.
+
+    `BLISS_TIMBRAL_FUSED=0` falls back to the mags-materializing path
+    (same dispatch conditions as ops.spectral framed_pvoc_mags).
+    """
+    import os
+
+    from ..ops import pallas_dft
+    from ..ops.spectral import _use_pallas
+
+    return (
+        os.environ.get("BLISS_TIMBRAL_FUSED") != "0"
+        and _use_pallas()
+        and pallas_dft.supported(WINDOW_SIZE, HOP_SIZE)
+    )
+
+
 def spectral_frame_mags(signal: jnp.ndarray, n_frames: int) -> jnp.ndarray:
     """[n_frames, 256] buggy pvoc magnitudes of the 512/128 stream.
 
@@ -48,31 +66,57 @@ def spectral_features(signal: jnp.ndarray, length) -> jnp.ndarray:
     n_valid = n_frames_strided(jnp.asarray(length, jnp.int32), WINDOW_SIZE, HOP_SIZE)
     mask = jnp.arange(n_frames_max, dtype=jnp.int32) < n_valid
 
-    mags = spectral_frame_mags(signal, n_frames_max)  # [F, 256]
-    n_bins = mags.shape[-1]
+    n_bins = WINDOW_SIZE // 2
+    if _use_fused_descriptors():
+        # fused Pallas path: the [F, 256] magnitudes never leave VMEM —
+        # the kernel emits per-frame raw reductions (ops/pallas_dft.py)
+        from ..ops.pallas_dft import pallas_frame_dft_timbral
 
-    # --- centroid (src/aubio.rs:16-29), in bins then Hz
-    total = jnp.sum(mags, axis=-1)
-    weighted = jnp.sum(mags * jnp.arange(n_bins, dtype=mags.dtype), axis=-1)
+        offset = WINDOW_SIZE - HOP_SIZE
+        padded = jnp.concatenate(
+            [jnp.zeros((offset,), signal.dtype), signal]
+        )
+        raw = pallas_frame_dft_timbral(
+            padded, WINDOW_SIZE, HOP_SIZE, n_frames_max
+        )  # [F, 5]: total, weighted, below, logsum, energy
+        total, weighted = raw[:, 0], raw[:, 1]
+        below, logsum, energy = raw[:, 2], raw[:, 3], raw[:, 4]
+        geo = jnp.exp2(logsum / n_bins)
+        arith = total / n_bins
+    else:
+        mags = spectral_frame_mags(signal, n_frames_max)  # [F, 256]
+
+        # --- centroid raw sums (src/aubio.rs:16-29)
+        total = jnp.sum(mags, axis=-1)
+        weighted = jnp.sum(
+            mags * jnp.arange(n_bins, dtype=mags.dtype), axis=-1
+        )
+
+        # --- rolloff (src/aubio.rs:36-58): first bin where the inclusive
+        # cumulative squared-magnitude sum reaches 95% of the total.
+        sq = mags * mags
+        cumsum = jnp.cumsum(sq, axis=-1)
+        energy = cumsum[..., -1]
+        target = energy * jnp.asarray(0.95, mags.dtype)
+        below = jnp.sum(
+            (cumsum < target[..., None]).astype(jnp.int32), axis=-1
+        )
+
+        # --- flatness inputs (src/timbral.rs:196-208)
+        geo = geometric_mean(mags, axis=-1)
+        arith = jnp.mean(mags, axis=-1)
+
     centroid_bin = jnp.where(total == 0.0, 0.0, weighted / total)
     centroid_hz = centroid_bin * (SAMPLE_RATE / WINDOW_SIZE)
 
-    # --- rolloff (src/aubio.rs:36-58): first bin where the inclusive
-    # cumulative squared-magnitude sum reaches 95% of the total.
-    sq = mags * mags
-    cumsum = jnp.cumsum(sq, axis=-1)
-    energy = cumsum[..., -1]
-    target = energy * jnp.asarray(0.95, mags.dtype)
-    below = jnp.sum((cumsum < target[..., None]).astype(jnp.int32), axis=-1)
-    roll_bin = jnp.where(energy == 0.0, 0, below + 1).astype(mags.dtype)
+    roll_bin = jnp.where(energy == 0.0, 0, below + 1).astype(jnp.float32)
     # aubio PR#318 workaround (src/timbral.rs:185-187)
     roll_bin = jnp.minimum(roll_bin, WINDOW_SIZE / 2.0)
     rolloff_hz = roll_bin * (SAMPLE_RATE / WINDOW_SIZE)
 
-    # --- flatness (src/timbral.rs:196-208): geometric/arithmetic mean
-    geo = geometric_mean(mags, axis=-1)
-    arith = jnp.mean(mags, axis=-1)
-    flatness = jnp.where(geo == 0.0, 0.0, geo / jnp.where(arith == 0.0, 1.0, arith))
+    flatness = jnp.where(
+        geo == 0.0, 0.0, geo / jnp.where(arith == 0.0, 1.0, arith)
+    )
 
     half_sr = SAMPLE_RATE / 2.0
     feats = [

@@ -77,6 +77,253 @@ def _make_kernel(window: int, width: int, fblock: int, nb: int):
     return kernel
 
 
+def _make_timbral_kernel(window: int, width: int, fblock: int, nb: int):
+    """Slab DFT + the three spectral descriptors, fused in VMEM.
+
+    Emits per-frame raw reductions (total, weighted-by-bin, rolloff
+    'below' count, log2-sum, arithmetic sum) over the buggy 256-bin
+    layout instead of the [F, 256] magnitudes — the descriptor stage's
+    HBM traffic drops from ~470 MB of mags (written once, re-read by
+    cumsum/log2/sum passes) to a [F, 128] row of scalars.
+    """
+    chunks = window // width
+    half = window // 2  # buggy layout: bins 0..half-2 ++ Nyquist
+
+    def kernel(slab_ref, cos_ref, sin_ref, win_ref, out_ref):
+        re = jnp.zeros((fblock, nb), jnp.float32)
+        im = jnp.zeros((fblock, nb), jnp.float32)
+        for c in range(chunks):
+            rows = slab_ref[0, c : c + fblock, :]
+            piece = rows * win_ref[0:1, c * width : (c + 1) * width]
+            dn = (((1,), (0,)), ((), ()))
+            re += jax.lax.dot_general(
+                piece, cos_ref[c * width : (c + 1) * width, :],
+                dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            im += jax.lax.dot_general(
+                piece, sin_ref[c * width : (c + 1) * width, :],
+                dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        mags_all = jnp.sqrt(re * re + im * im)  # [fblock, nb]
+        # aubio overflow layout (src/aubio.rs:237-261): drop true bin
+        # half-1, keep the Nyquist magnitude in its place
+        mags = jnp.concatenate(
+            [mags_all[:, : half - 1], mags_all[:, half : half + 1]], axis=1
+        )  # [fblock, half]
+
+        bins = jax.lax.broadcasted_iota(jnp.int32, (fblock, half), 1).astype(
+            jnp.float32
+        )
+        total = jnp.sum(mags, axis=1)
+        weighted = jnp.sum(mags * bins, axis=1)
+        sq = mags * mags
+        # inclusive scan via Hillis-Steele log-shifts (Mosaic has no
+        # cumsum lowering; XLA's TPU cumsum lowers to the same shifted
+        # add ladder, just through HBM instead of VMEM)
+        cumsum = sq
+        shift = 1
+        while shift < half:
+            z = jnp.zeros((fblock, shift), jnp.float32)
+            cumsum = cumsum + jnp.concatenate(
+                [z, cumsum[:, : half - shift]], axis=1
+            )
+            shift *= 2
+        energy = cumsum[:, half - 1]
+        target = energy * jnp.float32(0.95)
+        below = jnp.sum(
+            (cumsum < target[:, None]).astype(jnp.float32), axis=1
+        )
+        logs = jnp.log2(mags)
+        logsum = jnp.sum(logs, axis=1)
+
+        out_ref[:, :] = jnp.concatenate(
+            [
+                total[:, None],
+                weighted[:, None],
+                below[:, None],
+                logsum[:, None],
+                energy[:, None],
+                jnp.zeros((fblock, 123), jnp.float32),
+            ],
+            axis=1,
+        )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("window", "hop", "n_frames"))
+def pallas_frame_dft_timbral(
+    signal: jnp.ndarray, window: int, hop: int, n_frames: int
+) -> jnp.ndarray:
+    """Fused slab DFT + buggy-256 spectral descriptor reductions.
+
+    Returns `[n_frames, 5]` f32 rows `(total, weighted, below, logsum,
+    energy)` — see `_make_timbral_kernel`. Frame f covers
+    `signal[f*hop : f*hop + window]` (caller prepends offset padding).
+    """
+    from .windows import hann_periodic
+
+    assert supported(window, hop), (window, hop)
+    n_bins = window // 2 + 1
+    width = hop
+    chunks = window // width
+    fblock = _FBLOCK
+    nf_pad = -(-n_frames // fblock) * fblock
+    nb_pad = -(-n_bins // _LANES) * _LANES
+
+    n = jax.lax.broadcasted_iota(jnp.int32, (window, nb_pad), 0)
+    k = jax.lax.broadcasted_iota(jnp.int32, (window, nb_pad), 1)
+    theta = ((n * k) % window).astype(jnp.float32) * (2.0 * math.pi / window)
+    cos_m = jnp.cos(theta)
+    sin_m = -jnp.sin(theta)
+
+    need = (nf_pad + chunks - 1) * width
+    t = signal.shape[-1]
+    if t < need:
+        signal = jnp.pad(signal, (0, need - t))
+    sig2d = signal[:need].reshape(-1, width)
+    n_blocks = nf_pad // fblock
+    slab_rows = fblock + chunks - 1
+    slabs = jax.vmap(
+        lambda i: jax.lax.dynamic_slice(
+            sig2d, (i * fblock, jnp.int32(0)), (slab_rows, width)
+        )
+    )(jnp.arange(n_blocks, dtype=jnp.int32))
+
+    out = pl.pallas_call(
+        _make_timbral_kernel(window, width, fblock, nb_pad),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, slab_rows, width), lambda f: (f, 0, 0)),
+            pl.BlockSpec((window, nb_pad), lambda f: (0, 0)),
+            pl.BlockSpec((window, nb_pad), lambda f: (0, 0)),
+            pl.BlockSpec((1, window), lambda f: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((fblock, 128), lambda f: (f, 0)),
+        out_shape=jax.ShapeDtypeStruct((nf_pad, 128), jnp.float32),
+    )(slabs, cos_m, sin_m, hann_periodic(window).reshape(1, window))
+    return out[:n_frames, :5]
+
+
+def _make_specflux_kernel(window: int, width: int, fblock: int, nb: int):
+    """Slab DFT + SpecFlux onset, fused in VMEM.
+
+    Computes magnitudes for `fblock + 1` frames per block (one lookback
+    frame for the cross-block previous-frame difference) and emits per
+    frame `(flux, total)` where flux = sum_bins max(m[h] - m[h-1], 0)
+    (SpecFlux, reference src/aubio.rs:432-468) and total = sum_bins m[h].
+    The caller replaces flux[0] with total[0] (aubio's first frame diffs
+    against zeros, which the slab's lookback pseudo-frame is not).
+    """
+    chunks = window // width
+    n_bins = window // 2 + 1
+
+    def kernel(slab_ref, cos_ref, sin_ref, win_ref, out_ref):
+        re = jnp.zeros((fblock + 1, nb), jnp.float32)
+        im = jnp.zeros((fblock + 1, nb), jnp.float32)
+        for c in range(chunks):
+            rows = slab_ref[0, c : c + fblock + 1, :]
+            piece = rows * win_ref[0:1, c * width : (c + 1) * width]
+            dn = (((1,), (0,)), ((), ()))
+            re += jax.lax.dot_general(
+                piece, cos_ref[c * width : (c + 1) * width, :],
+                dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            im += jax.lax.dot_general(
+                piece, sin_ref[c * width : (c + 1) * width, :],
+                dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        mags = jnp.sqrt(re * re + im * im)  # [fblock+1, nb]
+        # zero the padded bins so they contribute nothing to the sums
+        lane = jax.lax.broadcasted_iota(jnp.int32, (fblock + 1, nb), 1)
+        mags = jnp.where(lane < n_bins, mags, 0.0)
+        diff = mags[1:, :] - mags[:-1, :]
+        flux = jnp.sum(jnp.maximum(diff, 0.0), axis=1)
+        total = jnp.sum(mags[1:, :], axis=1)
+        # lane-select instead of concatenate: Mosaic's tpu.concatenate
+        # chokes on mixed (N,1)/(N,126) column layouts ("result/input
+        # offset mismatch on non-concat dimension")
+        out_lane = jax.lax.broadcasted_iota(jnp.int32, (fblock, 128), 1)
+        out_ref[:, :] = jnp.where(
+            out_lane == 0,
+            flux[:, None],
+            jnp.where(out_lane == 1, total[:, None], 0.0),
+        )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("window", "hop", "n_frames"))
+def pallas_frame_dft_specflux(
+    signal: jnp.ndarray, window: int, hop: int, n_frames: int
+) -> jnp.ndarray:
+    """SpecFlux onset function of hann-windowed strided frames.
+
+    Frame f covers `signal[f*hop : f*hop + window]` (caller prepends any
+    offset padding). Returns `[n_frames]` f32 onset values matching
+    `onset_function(pvoc_mags(frames))` — the magnitudes never leave
+    VMEM."""
+    from .windows import hann_periodic
+
+    assert supported(window, hop), (window, hop)
+    n_bins = window // 2 + 1
+    width = hop
+    chunks = window // width
+    fblock = _FBLOCK
+    nf_pad = -(-n_frames // fblock) * fblock
+    nb_pad = -(-n_bins // _LANES) * _LANES
+
+    n = jax.lax.broadcasted_iota(jnp.int32, (window, nb_pad), 0)
+    k = jax.lax.broadcasted_iota(jnp.int32, (window, nb_pad), 1)
+    theta = ((n * k) % window).astype(jnp.float32) * (2.0 * math.pi / window)
+    cos_m = jnp.cos(theta)
+    sin_m = -jnp.sin(theta)
+
+    need = (nf_pad + chunks - 1) * width
+    t = signal.shape[-1]
+    if t < need:
+        signal = jnp.pad(signal, (0, need - t))
+    sig2d = signal[:need].reshape(-1, width)
+    # one zero lookback row: kernel row r = global sample row r - 1, so
+    # each block carries its previous frame for the flux difference
+    sig2d = jnp.concatenate(
+        [jnp.zeros((1, width), signal.dtype), sig2d], axis=0
+    )
+    n_blocks = nf_pad // fblock
+    slab_rows = fblock + chunks
+    slabs = jax.vmap(
+        lambda i: jax.lax.dynamic_slice(
+            sig2d, (i * fblock, jnp.int32(0)), (slab_rows, width)
+        )
+    )(jnp.arange(n_blocks, dtype=jnp.int32))
+
+    out = pl.pallas_call(
+        _make_specflux_kernel(window, width, fblock, nb_pad),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, slab_rows, width), lambda f: (f, 0, 0)),
+            pl.BlockSpec((window, nb_pad), lambda f: (0, 0)),
+            pl.BlockSpec((window, nb_pad), lambda f: (0, 0)),
+            pl.BlockSpec((1, window), lambda f: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((fblock, 128), lambda f: (f, 0)),
+        out_shape=jax.ShapeDtypeStruct((nf_pad, 128), jnp.float32),
+    )(slabs, cos_m, sin_m, hann_periodic(window).reshape(1, window))
+    flux = out[:n_frames, 0]
+    total = out[:n_frames, 1]
+    # first frame: aubio diffs against an all-zero previous frame, i.e.
+    # onset[0] = sum(max(m[0], 0)) = total[0]
+    return jnp.concatenate([total[:1], flux[1:]])
+
+
 @functools.partial(
     jax.jit, static_argnames=("window", "hop", "n_frames", "n_bins")
 )
@@ -137,3 +384,138 @@ def pallas_frame_dft_mags(
         out_shape=jax.ShapeDtypeStruct((nf_pad, nb_pad), jnp.float32),
     )(slabs, cos_m, sin_m, hann_periodic(window).reshape(1, window))
     return out[:n_frames, :n_bins]
+
+
+# --- fused Cooley-Tukey DFT for the big chroma window (8192/2205) ------------
+#
+# The hop (2205) is not lane-aligned, so the slab trick above does not
+# apply; framing stays on the XLA side. What the kernel removes is the
+# CT decomposition's intermediate HBM traffic: the XLA path (ops/dft.py
+# _rdft_mags_ct) materializes six [F, 8192]-sized complex stage arrays
+# (~10 GB round-trip per 8x5-min batch, measured ~27 ms); here every
+# stage lives in VMEM and HBM sees only frames-in / magnitudes-out.
+#
+# Layout trick that makes every op a plain 2D matmul (Mosaic has no
+# rank-3 contractions): with W = N2*128 (n = n2*128 + n1, n1 the lane
+# dim; k = k2 + N2*k1), pre-transpose frames to [n2, F*128] outside.
+# Then
+#   inner   A = C2 @ xw            [N2, N2] x [N2, FB*128]
+#   twiddle B = A * t (pre-tiled)  elementwise in [N2, FB*128]
+#   outer   X = B' @ C1            [N2*FB, 128] x [128, 128]
+# with only trailing/leading 128-aligned reshapes between stages.
+
+_CT_FBLOCK = 32  # frames per grid step (VMEM: ~14 MB at W=8192)
+
+
+def supported_ct(window: int) -> bool:
+    """Windows the fused CT kernel covers: W = N2*128, N2 in [8, 128]."""
+    n2 = window // _LANES
+    return window % _LANES == 0 and 8 <= n2 <= 128
+
+
+def _make_ct_kernel(n2: int, fblock: int):
+    def kernel(x_ref, c2_ref, s2_ref, tc_ref, ts_ref, c1_ref, s1_ref,
+               win_ref, out_ref):
+        dn = (((1,), (0,)), ((), ()))
+
+        def dot(a, b):
+            return jax.lax.dot_general(
+                a, b, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        xw = x_ref[:, :] * win_ref[:, :]           # [n2, FB*128]
+        are = dot(c2_ref[:, :], xw)                # [n2, FB*128]
+        aim = -dot(s2_ref[:, :], xw)
+        tc = tc_ref[:, :]
+        ts = ts_ref[:, :]
+        bre = are * tc + aim * ts
+        bim = aim * tc - are * ts
+        b2re = bre.reshape(n2 * fblock, _LANES)    # [(k2 f), n1]
+        b2im = bim.reshape(n2 * fblock, _LANES)
+        xre = dot(b2re, c1_ref[:, :]) + dot(b2im, s1_ref[:, :])
+        xim = dot(b2im, c1_ref[:, :]) - dot(b2re, s1_ref[:, :])
+        mags = jnp.sqrt(xre * xre + xim * xim)     # [(k2 f), k1]
+        out_ref[:, :, :] = mags.reshape(n2, fblock, _LANES)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_frames", "n_bins", "interpret")
+)
+def pallas_stft_mags_ct(
+    frames: jnp.ndarray,
+    n_frames: int,
+    n_bins: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """|DFT| of hann-windowed `frames [F, W]` -> spectrum `[n_bins, n_frames]`.
+
+    Transposed (bins-major) output, matching `ops.spectral.stft`'s
+    orientation. Requires `supported_ct(W)`. F may exceed `n_frames`
+    (padded frames are computed and sliced away).
+    """
+    from .windows import hann_periodic
+
+    w = frames.shape[-1]
+    assert supported_ct(w), w
+    n2 = w // _LANES  # W = n2 * 128; k = k2 + n2*k1
+    if n_bins is None:
+        n_bins = w // 2 + 1
+    fblock = _CT_FBLOCK
+    f = frames.shape[0]
+    fpad = -(-f // fblock) * fblock
+    dt = jnp.float32
+
+    def tw(rows, cols, mod):
+        """cos/sin of 2*pi*((r*c) mod mod)/mod, integer-exact phase."""
+        r = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+        theta = ((r * c) % mod).astype(dt) * (2.0 * math.pi / mod)
+        return jnp.cos(theta), jnp.sin(theta)
+
+    c2, s2 = tw(n2, n2, n2)           # W_N2^{k2 n2}
+    t_c, t_s = tw(n2, _LANES, w)      # W_W^{k2 n1}
+    c1, s1 = tw(_LANES, _LANES, 128)  # W_128^{n1 k1}
+    # twiddle + window tiled across the frame block's flattened lanes
+    tcb = jnp.tile(t_c[:, None, :], (1, fblock, 1)).reshape(n2, fblock * 128)
+    tsb = jnp.tile(t_s[:, None, :], (1, fblock, 1)).reshape(n2, fblock * 128)
+    win2 = hann_periodic(w).astype(dt).reshape(n2, _LANES)
+    winb = jnp.tile(win2[:, None, :], (1, fblock, 1)).reshape(
+        n2, fblock * 128
+    )
+
+    # [F, W] -> [n2, Fpad, 128] -> [n2, Fpad*128] (pad fuses into the
+    # transpose copy; the 2D reshape is free in HBM)
+    x3 = jnp.transpose(frames.reshape(f, n2, _LANES), (1, 0, 2))
+    if fpad != f:
+        x3 = jnp.pad(x3, ((0, 0), (0, fpad - f), (0, 0)))
+    x2 = x3.reshape(n2, fpad * 128)
+
+    n_blocks = fpad // fblock
+    out = pl.pallas_call(
+        _make_ct_kernel(n2, fblock),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((n2, fblock * 128), lambda fb: (0, fb)),
+            pl.BlockSpec((n2, n2), lambda fb: (0, 0)),
+            pl.BlockSpec((n2, n2), lambda fb: (0, 0)),
+            pl.BlockSpec((n2, fblock * 128), lambda fb: (0, 0)),
+            pl.BlockSpec((n2, fblock * 128), lambda fb: (0, 0)),
+            pl.BlockSpec((_LANES, _LANES), lambda fb: (0, 0)),
+            pl.BlockSpec((_LANES, _LANES), lambda fb: (0, 0)),
+            pl.BlockSpec((n2, fblock * 128), lambda fb: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((n2, fblock, _LANES), lambda fb: (0, fb, 0)),
+        out_shape=jax.ShapeDtypeStruct((n2, fpad, _LANES), jnp.float32),
+        interpret=interpret,
+    )(x2, c2, s2, tcb, tsb, c1, s1, winb)
+
+    # linear bin k = k2 + n2*k1: [k2, F, k1] -> [k1, k2, F] -> [k, F]
+    k1_keep = (n_bins - 1) // n2 + 1
+    spec = jnp.transpose(out[:, :, :k1_keep], (2, 0, 1)).reshape(
+        k1_keep * n2, fpad
+    )
+    return spec[:n_bins, :n_frames]

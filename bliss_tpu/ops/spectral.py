@@ -69,6 +69,13 @@ def stft(
     if n_frames is None:
         n_frames = int(n_frames_stft(t, hop_length))
     frames = frame_signal_reflect(signal, length, window_length, hop_length, n_frames)
+    if _use_pallas_ct(window_length):
+        from . import pallas_dft
+
+        mags_t = pallas_dft.pallas_stft_mags_ct(frames, n_frames)
+        if dtype is not None:
+            mags_t = mags_t.astype(dtype)
+        return mags_t
     mags = _windowed_mags(frames)
     if dtype is not None:
         mags = mags.astype(dtype)
@@ -113,6 +120,18 @@ def _use_pallas() -> bool:
     if os.environ.get("BLISS_PALLAS") == "0":
         return False
     return jax.default_backend() == "tpu" and _use_matmul_dft()
+
+
+def _use_pallas_ct(window: int) -> bool:
+    """Fused Pallas Cooley-Tukey DFT for the big chroma window on real
+    TPU (all CT stages in VMEM, see ops/pallas_dft.py
+    pallas_stft_mags_ct). BLISS_PALLAS_CT=0 (or BLISS_PALLAS=0) falls
+    back to the XLA CT matmul path."""
+    from . import pallas_dft
+
+    if os.environ.get("BLISS_PALLAS_CT") == "0":
+        return False
+    return _use_pallas() and pallas_dft.supported_ct(window) and window >= 4096
 
 
 def framed_pvoc_mags(

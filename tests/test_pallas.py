@@ -45,9 +45,96 @@ def test_interpret_matches_rfft(window, hop):
 
 
 def test_supported_predicate():
+    from bliss_tpu.ops.pallas_dft import supported_ct
+
     assert supported(512, 128)
     assert supported(512, 256)
     assert not supported(8192, 2205)
+    assert supported_ct(8192)
+    assert not supported_ct(512)
+    assert not supported_ct(8191)
+
+
+@pytest.mark.skipif(
+    os.environ.get("BLISS_TEST_TPU") == "1",
+    reason="interpret-mode pass is the CPU suite's job",
+)
+def test_ct_interpret_matches_rfft():
+    from bliss_tpu.ops.pallas_dft import pallas_stft_mags_ct
+
+    rng = np.random.default_rng(3)
+    w, f = 8192, 37  # f deliberately not a multiple of the frame block
+    frames = (rng.normal(size=(f, w)) * 0.1).astype(np.float32)
+    got = np.asarray(
+        pallas_stft_mags_ct(jnp.asarray(frames), n_frames=f, interpret=True)
+    )
+    want = np.abs(
+        np.fft.rfft(frames * np.asarray(hann_periodic(w)), axis=-1)
+    ).T
+    assert got.shape == (w // 2 + 1, f)
+    rel = np.abs(got - want).max() / want.max()
+    assert rel < 1e-5, rel
+
+
+@pytest.mark.skipif(
+    os.environ.get("BLISS_TEST_TPU") == "1",
+    reason="interpret-mode pass is the CPU suite's job",
+)
+def test_timbral_fused_interpret_matches_unfused():
+    """Fused descriptor kernel reductions == the mags-materializing path."""
+    from bliss_tpu.ops.pallas_dft import pallas_frame_dft_timbral
+    from bliss_tpu.ops.reductions import geometric_mean
+    from bliss_tpu.ops.spectral import pvoc_mags_buggy
+
+    window, hop, n_frames = 512, 128, 200
+    rng = np.random.default_rng(4)
+    sig = (rng.normal(size=hop * (n_frames + 10)) * 0.1).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        raw = np.asarray(
+            pallas_frame_dft_timbral(jnp.asarray(sig), window, hop, n_frames)
+        )
+    frames = np.stack(
+        [sig[i * hop : i * hop + window] for i in range(n_frames)]
+    )
+    mags = np.asarray(pvoc_mags_buggy(jnp.asarray(frames)))
+    n_bins = mags.shape[-1]
+    np.testing.assert_allclose(raw[:, 0], mags.sum(-1), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        raw[:, 1], (mags * np.arange(n_bins)).sum(-1), rtol=1e-4, atol=1e-4
+    )
+    sq = mags * mags
+    cum = np.cumsum(sq, -1)
+    below = (cum < 0.95 * cum[:, -1:]).sum(-1)
+    np.testing.assert_allclose(raw[:, 2], below, atol=1)
+    geo = np.asarray(geometric_mean(jnp.asarray(mags), axis=-1))
+    np.testing.assert_allclose(
+        np.exp2(raw[:, 3] / n_bins), geo, rtol=1e-3, atol=1e-7
+    )
+    np.testing.assert_allclose(raw[:, 4], cum[:, -1], rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.skipif(
+    os.environ.get("BLISS_TEST_TPU") == "1",
+    reason="interpret-mode pass is the CPU suite's job",
+)
+def test_specflux_fused_interpret_matches_unfused():
+    from bliss_tpu.models.tempo import onset_function
+    from bliss_tpu.ops.pallas_dft import pallas_frame_dft_specflux
+    from bliss_tpu.ops.spectral import pvoc_mags
+
+    window, hop, n_frames = 512, 256, 300
+    rng = np.random.default_rng(5)
+    sig = (rng.normal(size=hop * (n_frames + 5)) * 0.1).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            pallas_frame_dft_specflux(jnp.asarray(sig), window, hop, n_frames)
+        )
+    frames = np.stack(
+        [sig[i * hop : i * hop + window] for i in range(n_frames)]
+    )
+    mags = pvoc_mags(jnp.asarray(frames))
+    want = np.asarray(onset_function(mags))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
 @pytest.mark.skipif(
