@@ -404,7 +404,19 @@ def pallas_frame_dft_mags(
 #   outer   X = B' @ C1            [N2*FB, 128] x [128, 128]
 # with only trailing/leading 128-aligned reshapes between stages.
 
-_CT_FBLOCK = 32  # frames per grid step (VMEM: ~14 MB at W=8192)
+def _ct_fblock() -> int:
+    """Frames per grid step (VMEM: ~14 MB at W=8192, FB=32)."""
+    import os
+
+    return int(os.environ.get("BLISS_CT_FBLOCK", "32"))
+
+
+def _ct_precision():
+    """MXU precision for the CT stages. Mosaic lowers only DEFAULT and
+    HIGHEST dots (Precision.HIGH raises NotImplementedError in
+    _dot_general_lowering_rule); DEFAULT's single bf16 pass is far too
+    coarse for the 1e-5 parity budget, so HIGHEST it is."""
+    return jax.lax.Precision.HIGHEST
 
 
 def supported_ct(window: int) -> bool:
@@ -414,6 +426,8 @@ def supported_ct(window: int) -> bool:
 
 
 def _make_ct_kernel(n2: int, fblock: int):
+    precision = _ct_precision()
+
     def kernel(x_ref, c2_ref, s2_ref, tc_ref, ts_ref, c1_ref, s1_ref,
                win_ref, out_ref):
         dn = (((1,), (0,)), ((), ()))
@@ -422,7 +436,7 @@ def _make_ct_kernel(n2: int, fblock: int):
             return jax.lax.dot_general(
                 a, b, dimension_numbers=dn,
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=precision,
             )
 
         xw = x_ref[:, :] * win_ref[:, :]           # [n2, FB*128]
@@ -443,13 +457,14 @@ def _make_ct_kernel(n2: int, fblock: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_frames", "n_bins", "interpret")
+    jax.jit, static_argnames=("n_frames", "n_bins", "interpret", "fblock")
 )
 def pallas_stft_mags_ct(
     frames: jnp.ndarray,
     n_frames: int,
     n_bins: int | None = None,
     interpret: bool = False,
+    fblock: int | None = None,
 ) -> jnp.ndarray:
     """|DFT| of hann-windowed `frames [F, W]` -> spectrum `[n_bins, n_frames]`.
 
@@ -464,7 +479,8 @@ def pallas_stft_mags_ct(
     n2 = w // _LANES  # W = n2 * 128; k = k2 + n2*k1
     if n_bins is None:
         n_bins = w // 2 + 1
-    fblock = _CT_FBLOCK
+    if fblock is None:
+        fblock = _ct_fblock()
     f = frames.shape[0]
     fpad = -(-f // fblock) * fblock
     dt = jnp.float32
