@@ -157,6 +157,66 @@ def test_hardware_matches_rfft(window, hop):
     assert rel < 1e-5, rel
 
 
+@pytest.mark.skipif(
+    os.environ.get("BLISS_TEST_TPU") != "1",
+    reason="hardware kernel test needs BLISS_TEST_TPU=1 (real TPU)",
+)
+def test_hardware_ct_matches_xla_ct():
+    """CT-8192 Pallas kernel vs the XLA CT matmul path, on chip."""
+    import jax
+
+    from bliss_tpu.ops.dft import _rdft_mags_ct
+    from bliss_tpu.ops.pallas_dft import pallas_stft_mags_ct
+
+    assert jax.default_backend() == "tpu"
+    rng = np.random.default_rng(6)
+    w, f = 8192, 100
+    frames = jnp.asarray(
+        (rng.normal(size=(f, w)) * 0.1).astype(np.float32)
+    )
+    got = np.asarray(pallas_stft_mags_ct(frames, n_frames=f))
+    want = np.asarray(
+        _rdft_mags_ct(frames * hann_periodic(w), 4097)
+    ).T
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 1e-6, rel
+
+
+@pytest.mark.skipif(
+    os.environ.get("BLISS_TEST_TPU") != "1",
+    reason="hardware kernel test needs BLISS_TEST_TPU=1 (real TPU)",
+)
+def test_hardware_fused_descriptor_paths_match():
+    """Fused timbral/specflux kernels vs the mags-materializing paths,
+    feature-level, on chip."""
+    import os as _os
+
+    import jax
+
+    from bliss_tpu.models import tempo as TP
+    from bliss_tpu.models import timbral as TB
+
+    assert jax.default_backend() == "tpu"
+    rng = np.random.default_rng(7)
+    n = 22050 * 10
+    sig = jnp.asarray((rng.normal(size=n) * 0.1).astype(np.float32))
+    ln = jnp.int32(n)
+
+    assert TB._use_fused_descriptors() and TP._use_fused_specflux()
+    tb_f = np.asarray(jax.jit(TB.spectral_features)(sig, ln))
+    tp_f = np.asarray(jax.jit(TP.tempo_feature)(sig, ln))
+    _os.environ["BLISS_TIMBRAL_FUSED"] = "0"
+    _os.environ["BLISS_TEMPO_FUSED"] = "0"
+    try:
+        tb_u = np.asarray(jax.jit(lambda s, l: TB.spectral_features(s, l))(sig, ln))
+        tp_u = np.asarray(jax.jit(lambda s, l: TP.tempo_feature(s, l))(sig, ln))
+    finally:
+        _os.environ.pop("BLISS_TIMBRAL_FUSED")
+        _os.environ.pop("BLISS_TEMPO_FUSED")
+    np.testing.assert_allclose(tb_f, tb_u, atol=5e-6)
+    np.testing.assert_allclose(tp_f, tp_u, atol=5e-6)
+
+
 def test_silence_flags_blocked_parity():
     from bliss_tpu.models.tempo import (
         HOP_SIZE,
