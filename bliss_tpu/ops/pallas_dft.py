@@ -439,7 +439,11 @@ def _make_ct_kernel(n2: int, fblock: int):
                 precision=precision,
             )
 
-        xw = x_ref[:, :] * win_ref[:, :]           # [n2, FB*128]
+        xb = x_ref[:, :, :]                        # [FB, n2, 128] natural
+        # sublane-only permutation (lanes fixed) — measured cheaper in
+        # VMEM than the 870 MB XLA transpose pass it replaces
+        xt = jnp.transpose(xb, (1, 0, 2))          # [n2, FB, 128]
+        xw = xt.reshape(n2, fblock * 128) * win_ref[:, :]
         are = dot(c2_ref[:, :], xw)                # [n2, FB*128]
         aim = -dot(s2_ref[:, :], xw)
         tc = tc_ref[:, :]
@@ -503,19 +507,19 @@ def pallas_stft_mags_ct(
         n2, fblock * 128
     )
 
-    # [F, W] -> [n2, Fpad, 128] -> [n2, Fpad*128] (pad fuses into the
-    # transpose copy; the 2D reshape is free in HBM)
-    x3 = jnp.transpose(frames.reshape(f, n2, _LANES), (1, 0, 2))
+    # [F, W] -> [Fpad, n2, 128]: free HBM reshape, no transpose pass —
+    # the (f, n2) -> (n2, f) permutation happens in VMEM inside the
+    # kernel (sublane-only, measured cheaper than the XLA copy)
+    x3 = frames.reshape(f, n2, _LANES)
     if fpad != f:
-        x3 = jnp.pad(x3, ((0, 0), (0, fpad - f), (0, 0)))
-    x2 = x3.reshape(n2, fpad * 128)
+        x3 = jnp.pad(x3, ((0, fpad - f), (0, 0), (0, 0)))
 
     n_blocks = fpad // fblock
     out = pl.pallas_call(
         _make_ct_kernel(n2, fblock),
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((n2, fblock * 128), lambda fb: (0, fb)),
+            pl.BlockSpec((fblock, n2, _LANES), lambda fb: (fb, 0, 0)),
             pl.BlockSpec((n2, n2), lambda fb: (0, 0)),
             pl.BlockSpec((n2, n2), lambda fb: (0, 0)),
             pl.BlockSpec((n2, fblock * 128), lambda fb: (0, 0)),
@@ -527,7 +531,7 @@ def pallas_stft_mags_ct(
         out_specs=pl.BlockSpec((n2, fblock, _LANES), lambda fb: (0, fb, 0)),
         out_shape=jax.ShapeDtypeStruct((n2, fpad, _LANES), jnp.float32),
         interpret=interpret,
-    )(x2, c2, s2, tcb, tsb, c1, s1, winb)
+    )(x3, c2, s2, tcb, tsb, c1, s1, winb)
 
     # linear bin k = k2 + n2*k1: [k2, F, k1] -> [k1, k2, F] -> [k, F]
     k1_keep = (n_bins - 1) // n2 + 1

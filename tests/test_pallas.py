@@ -158,6 +158,68 @@ def test_hardware_matches_rfft(window, hop):
 
 
 @pytest.mark.skipif(
+    os.environ.get("BLISS_TEST_TPU") == "1",
+    reason="interpret-mode pass is the CPU suite's job",
+)
+def test_radix_select_interpret_matches_sort():
+    """Byte-radix masked quantile == numpy sort-path Midpoint quantile,
+    exactly (incl. negatives, duplicates, empty mask)."""
+    import jax.numpy as jnp
+
+    from bliss_tpu.ops.pallas_select import masked_quantile_midpoint_radix
+
+    rng = np.random.default_rng(8)
+    densities = [0.9, 0.5, 0.1, 0.5, 1.0, 0.0]
+    for trial, density in enumerate(densities):
+        r, c = int(rng.integers(3, 40)), int(rng.integers(3, 300))
+        v = (rng.normal(0, 1, (r, c)) * 10.0 ** float(
+            rng.integers(-3, 3)
+        )).astype(np.float32)
+        if trial == 3:
+            v = np.round(v)  # force duplicates
+        m = rng.random((r, c)) < density
+        got = float(
+            masked_quantile_midpoint_radix(
+                jnp.asarray(v), jnp.asarray(m), 0.5, interpret=True
+            )
+        )
+        sel = np.sort(v[m])
+        if sel.size == 0:
+            assert np.isinf(got)
+            continue
+        pos = (sel.size - 1) * 0.5
+        want = 0.5 * (sel[int(np.floor(pos))] + sel[int(np.ceil(pos))])
+        assert got == want, (trial, got, want)
+
+
+@pytest.mark.skipif(
+    os.environ.get("BLISS_TEST_TPU") != "1",
+    reason="hardware kernel test needs BLISS_TEST_TPU=1 (real TPU)",
+)
+def test_hardware_radix_select_matches_bisect():
+    import jax
+    import jax.numpy as jnp
+
+    from bliss_tpu.ops.pallas_select import masked_quantile_midpoint_radix
+    from bliss_tpu.ops.reductions import _kth_smallest_bisect_unrolled_pair
+
+    assert jax.default_backend() == "tpu"
+    rng = np.random.default_rng(9)
+    v = (rng.normal(0, 1, (1430, 3329)) ** 3).astype(np.float32)
+    m = rng.random((1430, 3329)) < 0.07
+    got = float(
+        masked_quantile_midpoint_radix(jnp.asarray(v), jnp.asarray(m), 0.5)
+    )
+    n = int(m.sum())
+    k1, k2 = (n - 1) // 2, n // 2
+    vlo, vhi = _kth_smallest_bisect_unrolled_pair(
+        jnp.asarray(v), jnp.asarray(m), k1, k2
+    )
+    want = 0.5 * (float(vlo) + float(vhi))
+    assert got == want, (got, want)
+
+
+@pytest.mark.skipif(
     os.environ.get("BLISS_TEST_TPU") != "1",
     reason="hardware kernel test needs BLISS_TEST_TPU=1 (real TPU)",
 )
