@@ -29,6 +29,7 @@ BASELINE_SONGS_PER_SEC = 3.0  # reference README: 10k songs in ~56 min
 
 
 def main():
+    t_main = time.perf_counter()
     n_songs = int(os.environ.get("BLISS_BENCH_SONGS", "24"))
 
     # persistent compile cache: the axon remote-compile path is slow and
@@ -107,21 +108,100 @@ def main():
         r.duration for _, r in results if isinstance(r, Song)
     )
     songs_per_sec = n_songs / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": "songs_per_sec",
-                "value": round(songs_per_sec, 3),
-                "unit": "songs/s",
-                "vs_baseline": round(songs_per_sec / BASELINE_SONGS_PER_SEC, 3),
-                "mean_song_secs": round(audio_secs / n_songs, 1),
-                "audio_secs_per_sec": round(audio_secs / elapsed, 1),
-                "median_songs_per_sec": round(n_songs / median, 3),
-                "median_audio_secs_per_sec": round(audio_secs / median, 1),
-                "passes": len(pass_times),
-            }
-        )
-    )
+
+    out = {
+        "metric": "songs_per_sec",
+        "value": round(songs_per_sec, 3),
+        "unit": "songs/s",
+        "vs_baseline": round(songs_per_sec / BASELINE_SONGS_PER_SEC, 3),
+        "mean_song_secs": round(audio_secs / n_songs, 1),
+        "audio_secs_per_sec": round(audio_secs / elapsed, 1),
+        "median_songs_per_sec": round(n_songs / median, 3),
+        "median_audio_secs_per_sec": round(audio_secs / median, 1),
+        "passes": len(pass_times),
+    }
+    # device-only sustained metric, only while there is comfortable
+    # headroom inside the parent watchdog's post-warmup limit: with a
+    # warm compile cache this costs ~15 s; cold through a slow tunnel it
+    # could eat the budget, and the headline metric must never be lost
+    # to a diagnostic
+    if time.perf_counter() - t_main < float(
+        os.environ.get("BLISS_BENCH_DEVICE_DEADLINE_S", "420")
+    ):
+        out.update(_device_sustained(paths))
+    print(json.dumps(out))
+
+
+def _device_sustained(paths) -> dict:
+    """Device-only sustained throughput on the bench mix (no tunnel
+    wire, no dispatch floor): chain 10 data-dependent analyzer
+    iterations over one resident batch of 8 decoded songs inside a
+    single compiled scan (same technique as PERF.md §31). The headline
+    metric above is wire+decode-bound on this sandbox's tunnel, whose
+    bandwidth swings ~30x between runs; this number is the hardware's.
+
+    Best-effort: any failure (tunnel wedge, OOM) returns {} rather than
+    jeopardizing the headline metric.
+    """
+    try:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from bliss_tpu.io.decoder import FFmpegDecoder
+        from bliss_tpu.models.analyzer import analyze_samples, bucket_length
+
+        b = 8
+        decoded = [FFmpegDecoder.decode(p) for p in paths[:b]]
+        pad = max(bucket_length(len(d.sample_array)) for d in decoded)
+        sig = np.zeros((b, pad), np.float32)
+        lens = np.zeros((b,), np.int32)
+        for i, d in enumerate(decoded):
+            sig[i, : len(d.sample_array)] = d.sample_array
+            lens[i] = len(d.sample_array)
+        x = jnp.asarray(sig)
+        ls = jnp.asarray(lens)
+        van = jax.vmap(analyze_samples)
+
+        def chained(n_iters):
+            @jax.jit
+            def run(x, ls):
+                def body(c, _):
+                    feats = van(x + c * jnp.float32(1e-38), ls)
+                    return jnp.sum(feats) * jnp.float32(1e-30), None
+
+                c, _ = jax.lax.scan(
+                    body, jnp.float32(0.0), None, length=n_iters
+                )
+                return c
+
+            return run
+
+        times = {}
+        for iters in (1, 10):
+            fn = chained(iters)
+            np.asarray(fn(x, ls))  # compile + warm
+            times[iters] = min(
+                _timed(lambda: np.asarray(fn(x, ls))) for _ in range(3)
+            )
+        per_batch = (times[10] - times[1]) / 9.0
+        if per_batch <= 0:
+            return {}
+        return {
+            "device_songs_per_sec": round(b / per_batch, 1),
+            "device_audio_secs_per_sec": round(
+                float(lens.sum()) / 22050.0 / per_batch, 1
+            ),
+        }
+    except Exception as exc:  # noqa: BLE001 — diagnostic-only path
+        print(f"# device-sustained skipped: {exc!r}", file=sys.stderr)
+        return {}
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 def _run_with_watchdog():

@@ -85,6 +85,11 @@ def _make_timbral_kernel(window: int, width: int, fblock: int, nb: int):
     layout instead of the [F, 256] magnitudes — the descriptor stage's
     HBM traffic drops from ~470 MB of mags (written once, re-read by
     cumsum/log2/sum passes) to a [F, 128] row of scalars.
+
+    The twiddle matrices arrive already in the aubio overflow layout
+    (src/aubio.rs:237-261): `nb == window//2` columns where column
+    half-1 carries the *Nyquist* phase — exactly 2x128 lanes for W=512
+    instead of padding half+1 bins to 3x128 (1/3 less MXU work).
     """
     chunks = window // width
     half = window // 2  # buggy layout: bins 0..half-2 ++ Nyquist
@@ -108,12 +113,7 @@ def _make_timbral_kernel(window: int, width: int, fblock: int, nb: int):
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-        mags_all = jnp.sqrt(re * re + im * im)  # [fblock, nb]
-        # aubio overflow layout (src/aubio.rs:237-261): drop true bin
-        # half-1, keep the Nyquist magnitude in its place
-        mags = jnp.concatenate(
-            [mags_all[:, : half - 1], mags_all[:, half : half + 1]], axis=1
-        )  # [fblock, half]
+        mags = jnp.sqrt(re * re + im * im)  # [fblock, half] buggy layout
 
         bins = jax.lax.broadcasted_iota(jnp.int32, (fblock, half), 1).astype(
             jnp.float32
@@ -168,15 +168,19 @@ def pallas_frame_dft_timbral(
     from .windows import hann_periodic
 
     assert supported(window, hop), (window, hop)
-    n_bins = window // 2 + 1
     width = hop
     chunks = window // width
     fblock = _FBLOCK
     nf_pad = -(-n_frames // fblock) * fblock
-    nb_pad = -(-n_bins // _LANES) * _LANES
+    half = window // 2
+    assert half % _LANES == 0, window  # buggy layout is lane-exact
+    nb_pad = half
 
+    # twiddles directly in the buggy overflow layout: column half-1
+    # carries bin `half` (the Nyquist) — see _make_timbral_kernel
     n = jax.lax.broadcasted_iota(jnp.int32, (window, nb_pad), 0)
     k = jax.lax.broadcasted_iota(jnp.int32, (window, nb_pad), 1)
+    k = jnp.where(k == half - 1, half, k)
     theta = ((n * k) % window).astype(jnp.float32) * (2.0 * math.pi / window)
     cos_m = jnp.cos(theta)
     sin_m = -jnp.sin(theta)
@@ -220,11 +224,12 @@ def _make_specflux_kernel(window: int, width: int, fblock: int, nb: int):
     against zeros, which the slab's lookback pseudo-frame is not).
     """
     chunks = window // width
-    n_bins = window // 2 + 1
+    half = window // 2  # DFT matmul covers bins 0..half-1 (lane-exact)
 
     def kernel(slab_ref, cos_ref, sin_ref, win_ref, out_ref):
         re = jnp.zeros((fblock + 1, nb), jnp.float32)
         im = jnp.zeros((fblock + 1, nb), jnp.float32)
+        nyq = jnp.zeros((fblock + 1,), jnp.float32)
         for c in range(chunks):
             rows = slab_ref[0, c : c + fblock + 1, :]
             piece = rows * win_ref[0:1, c * width : (c + 1) * width]
@@ -241,13 +246,22 @@ def _make_specflux_kernel(window: int, width: int, fblock: int, nb: int):
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-        mags = jnp.sqrt(re * re + im * im)  # [fblock+1, nb]
-        # zero the padded bins so they contribute nothing to the sums
-        lane = jax.lax.broadcasted_iota(jnp.int32, (fblock + 1, nb), 1)
-        mags = jnp.where(lane < n_bins, mags, 0.0)
+            # Nyquist bin on the VPU: X_{W/2} = sum_n x[n] (-1)^n (real),
+            # so the bin-count stays at `half` = exact lanes instead of
+            # padding half+1 up to the next 128 multiple (1/3 less MXU)
+            sgn = 1.0 - 2.0 * (
+                jax.lax.broadcasted_iota(
+                    jnp.int32, (1, width), 1
+                ) % 2
+            ).astype(jnp.float32)
+            nyq += jnp.sum(piece * sgn, axis=1)
+        mags = jnp.sqrt(re * re + im * im)  # [fblock+1, half]
+        nyq_mag = jnp.abs(nyq)  # [fblock+1]
         diff = mags[1:, :] - mags[:-1, :]
-        flux = jnp.sum(jnp.maximum(diff, 0.0), axis=1)
-        total = jnp.sum(mags[1:, :], axis=1)
+        flux = jnp.sum(jnp.maximum(diff, 0.0), axis=1) + jnp.maximum(
+            nyq_mag[1:] - nyq_mag[:-1], 0.0
+        )
+        total = jnp.sum(mags[1:, :], axis=1) + nyq_mag[1:]
         # lane-select instead of concatenate: Mosaic's tpu.concatenate
         # chokes on mixed (N,1)/(N,126) column layouts ("result/input
         # offset mismatch on non-concat dimension")
@@ -274,12 +288,13 @@ def pallas_frame_dft_specflux(
     from .windows import hann_periodic
 
     assert supported(window, hop), (window, hop)
-    n_bins = window // 2 + 1
     width = hop
     chunks = window // width
     fblock = _FBLOCK
     nf_pad = -(-n_frames // fblock) * fblock
-    nb_pad = -(-n_bins // _LANES) * _LANES
+    half = window // 2
+    assert half % _LANES == 0, window
+    nb_pad = half  # bins 0..half-1; the kernel adds the Nyquist on VPU
 
     n = jax.lax.broadcasted_iota(jnp.int32, (window, nb_pad), 0)
     k = jax.lax.broadcasted_iota(jnp.int32, (window, nb_pad), 1)
