@@ -109,7 +109,9 @@ def spectral_features(signal: jnp.ndarray, length) -> jnp.ndarray:
     centroid_bin = jnp.where(total == 0.0, 0.0, weighted / total)
     centroid_hz = centroid_bin * (SAMPLE_RATE / WINDOW_SIZE)
 
-    roll_bin = jnp.where(energy == 0.0, 0, below + 1).astype(jnp.float32)
+    # dtype-parametric cast: the fused TPU path is f32, but the CPU x64
+    # golden-parity path must stay f64 end-to-end (advisor r3)
+    roll_bin = jnp.where(energy == 0.0, 0, below + 1).astype(energy.dtype)
     # aubio PR#318 workaround (src/timbral.rs:185-187)
     roll_bin = jnp.minimum(roll_bin, WINDOW_SIZE / 2.0)
     rolloff_hz = roll_bin * (SAMPLE_RATE / WINDOW_SIZE)

@@ -90,6 +90,14 @@ def _make_timbral_kernel(window: int, width: int, fblock: int, nb: int):
     (src/aubio.rs:237-261): `nb == window//2` columns where column
     half-1 carries the *Nyquist* phase — exactly 2x128 lanes for W=512
     instead of padding half+1 bins to 3x128 (1/3 less MXU work).
+
+    Known TPU-only tolerance (advisor r3): the rolloff cumsum below is a
+    Hillis-Steele ladder whose f32 summation order differs from XLA's
+    cumsum, so the `below` count can differ by one bin from the unfused
+    path when a bin sits exactly on the 95%-energy threshold. This is
+    input-sensitive tie behavior off the golden path (CPU keeps the
+    unfused f64 pipeline) — do not chase it as a parity bug; the
+    interpret-mode test asserts `atol=1` on `below` for this reason.
     """
     chunks = window // width
     half = window // 2  # buggy layout: bins 0..half-2 ++ Nyquist

@@ -49,6 +49,16 @@ def _use_bisect(n: int) -> bool:
     return n >= _BISECT_THRESHOLD and jax.default_backend() == "tpu"
 
 
+def _radix_plane_bytes(shape) -> int:
+    """VMEM footprint of the byte-radix kernel's int8 plane for a 2-D
+    input: rows padded to 32, cols to 128 (ops/pallas_select.py
+    `_pad_to_tile`). The plane is a single ungridded VMEM block, so the
+    dispatch must bound it (very long songs grow the pip_track frame
+    count past the ~16 MB VMEM budget)."""
+    r, c = shape
+    return (-(-r // 32) * 32) * (-(-c // 128) * 128)
+
+
 def _float_sort_key(x: jnp.ndarray) -> jnp.ndarray:
     """Order-isomorphic unsigned integer key of a float array (IEEE)."""
     if x.dtype == jnp.float64:
@@ -171,6 +181,13 @@ def masked_quantile_midpoint_all(
         values.ndim == 2
         and values.dtype == jnp.float32
         and os.environ.get("BLISS_PALLAS_SELECT") != "0"
+        # explicit backend guard: the radix kernel is a TPU pallas_call;
+        # don't let the dispatch depend on _use_bisect's internals
+        and jax.default_backend() == "tpu"
+        # the int8 plane is one ungridded VMEM block — bound it so very
+        # long songs (plane bytes scale with song length) fall back to
+        # the HBM bisect instead of blowing the ~16 MB VMEM budget
+        and _radix_plane_bytes(values.shape) <= 8 << 20
     ):
         # byte-radix kernel: VMEM-resident planes replace 32 full-array
         # HBM count sweeps (~5x less traffic, see ops/pallas_select.py)
