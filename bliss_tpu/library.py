@@ -542,7 +542,7 @@ class Library:
         if deduplicate:
             playlist = dedup_playlist_custom_distance(
                 playlist, None, distance,
-                _matrix=playlist_matrix, _metadata=playlist_meta,
+                matrix=playlist_matrix, metadata=playlist_meta,
             )
         return playlist
 

@@ -510,7 +510,7 @@ def _rowwise_distances(a: np.ndarray, b: np.ndarray, metric):
 
 def dedup_playlist_custom_distance(
     playlist, distance_threshold: Optional[float], metric_builder,
-    _matrix: Optional[np.ndarray] = None, _metadata=None,
+    matrix: Optional[np.ndarray] = None, metadata=None,
 ):
     """Drop consecutive songs closer than `distance_threshold` (default
     0.05) or sharing a non-empty title+artist (src/playlist.rs:367-402).
@@ -520,23 +520,44 @@ def dedup_playlist_custom_distance(
     consecutive-pair distances in one vectorized pass; scalar re-checks
     happen only after a drop (where `current` stays put and the
     precomputed pair no longer applies) — exact reference semantics at
-    batch speed on 100k-song playlists. `_matrix` optionally supplies the
-    playlist's `[N, F]` vectors (row i = playlist[i]) and `_metadata` its
-    `(titles, artists)` object arrays, so callers holding a cached
-    library view skip the per-song restack/property churn.
+    batch speed on 100k-song playlists (the scalar==vectorized identity
+    is property-tested in tests/test_playlist.py).
+
+    `matrix` / `metadata` are the public fast-path inputs for callers
+    that already hold a columnar view of the playlist (`Library` passes
+    its cached feature matrix): `matrix` is the playlist's `[N, F]`
+    vectors with row i = playlist[i], and `metadata` its
+    `(titles, artists)` pair of length-N object arrays. Both are
+    optional and only consulted on the vectorized path; when omitted
+    they are derived from the songs. Shapes are validated against the
+    playlist length.
     """
     threshold = 0.05 if distance_threshold is None else distance_threshold
     builder = _as_builder(metric_builder)
     playlist = list(playlist)
     if not playlist:
         return []
+    if matrix is not None and len(matrix) != len(playlist):
+        raise ProviderError(
+            f"dedup matrix has {len(matrix)} rows for a "
+            f"{len(playlist)}-song playlist"
+        )
+    if metadata is not None and (
+        len(metadata) != 2
+        or len(metadata[0]) != len(playlist)
+        or len(metadata[1]) != len(playlist)
+    ):
+        raise ProviderError(
+            "dedup metadata must be (titles, artists) arrays matching "
+            "the playlist length"
+        )
 
     consecutive = None
     if (
         not isinstance(metric_builder, DistanceMetricBuilder)
         and len(playlist) > 64
     ):
-        mat = _matrix if _matrix is not None else _song_matrix(playlist)
+        mat = matrix if matrix is not None else _song_matrix(playlist)
         consecutive = _rowwise_distances(mat[:-1], mat[1:], metric_builder)
 
     def pair_distance(i_cur, i_nxt):
@@ -565,8 +586,8 @@ def dedup_playlist_custom_distance(
         # vectorized walk: consecutive comparisons are precomputed; the
         # scalar path only resolves the (rare) runs following a drop,
         # where `current` stays put and the pair is no longer consecutive
-        if _metadata is not None:
-            titles_a, artists_a = _metadata
+        if metadata is not None:
+            titles_a, artists_a = metadata
             titles_a = np.asarray(titles_a, object)
             artists_a = np.asarray(artists_a, object)
         else:
