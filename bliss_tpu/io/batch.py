@@ -12,13 +12,17 @@ Transfer engineering (the tunnel link is the bottleneck, ~10-70 MB/s):
 
   * per-song uploads — no padded batch-slot bytes ever cross the wire,
     and the upload of song k+1 overlaps decode of k+2 and compute of k;
-  * quantized wire format ("i16b", block-floating-point): f32 PCM is
-    shipped as int16 mantissas plus one int8 exponent per 2048-sample
-    block — 2.004 bytes/sample. Reconstruction x = q·2^(e-15) is exact
-    in f32; the only error is the rounding, ≤ blockpeak·2^-15. For
-    straight s16 sources (no resampling) this is *bit-exact*; for
-    resampled audio the measured end-feature drift is ≤2e-6 (23-dim
-    golden pipeline). CPU backend keeps exact f32 (golden parity);
+  * certified quantized wire ("auto", the TPU default): each song is
+    certified at decode time — samples all on the s16 grid → "i16b"
+    (int16 mantissas + one int8 exponent per 2048-sample block,
+    2.004 B/sample; reconstruction x = q·2^(e-15) is exact in f32 and
+    the round-trip is *bit-exact* for that source class); anything a
+    resampler or float/lossy codec touched → "i24b" (+ a low mantissa
+    byte, 3.008 B/sample, rounding ≤ blockpeak·2^-23, below the f32
+    DFT noise floor). This holds the BASELINE ≤1e-4 feature contract
+    at the default configuration (tests/test_tpu_drift.py enforces it
+    on hardware) instead of trading accuracy for ~33% less wire. CPU
+    backend keeps exact f32 (golden parity); BLISS_UPLOAD overrides;
   * deep pipelining: several device batches stay in flight; only the
     [B, 23] feature blocks are ever fetched back.
 """
@@ -64,20 +68,53 @@ WIRE_CHUNK = 1 << 20
 
 
 def _upload_kind() -> str:
-    """Wire format: exact f32 on CPU (golden parity), quantized on TPU.
+    """Wire policy: exact f32 on CPU (golden parity), `auto` on TPU.
 
-    `i16b` (default on TPU, 2.004 B/sample) is bit-exact for s16-grid
-    sources and ≤2^-15·blockpeak otherwise — its mantissa floor can
-    shift spectral-flatness on quiet lossy-source passages by up to
-    ~1.5e-2 (PERF.md §27). `i24b` (3.008 B/sample) lowers that floor by
-    48 dB for ~50% more wire.
+    `auto` certifies each song at decode time: `i16b` (2.004 B/sample)
+    only when every sample sits exactly on the s16 grid — the case where
+    the block-floating-point round-trip is bit-exact — and `i24b`
+    (3.008 B/sample) otherwise. i16b's mantissa floor can shift
+    spectral flatness on quiet lossy/resampled sources by up to ~1.5e-2
+    (PERF.md §26), 150x over the BASELINE ≤1e-4 contract; i24b holds
+    the contract at +50% wire. `BLISS_UPLOAD` overrides per-run.
     """
     kind = os.environ.get("BLISS_UPLOAD")
-    if kind in ("f32", "i16b", "i24b"):
+    if kind in ("f32", "i16b", "i24b", "auto"):
         return kind
     import jax
 
-    return "f32" if jax.default_backend() == "cpu" else "i16b"
+    return "f32" if jax.default_backend() == "cpu" else "auto"
+
+
+#: s16-grid certification scans in slices so off-grid content (every
+#: lossy/resampled source) exits after ~64k samples, not a full pass.
+_CERT_SLICE = 1 << 16
+
+
+def _is_s16_exact(samples: np.ndarray) -> bool:
+    """True iff every sample lies exactly on the s16 grid (x = k/2^15,
+    k in [-32768, 32767]) — the source class whose i16b wire round-trip
+    is bit-exact (straight-s16 decode with no resampling). Stronger than
+    asking the decoder for its source format: it also certifies s16
+    content that arrived through any decoder, and automatically rejects
+    anything a resampler or float codec touched."""
+    for lo in range(0, samples.shape[0], _CERT_SLICE):
+        x = samples[lo : lo + _CERT_SLICE]
+        q = x * np.float32(32768.0)  # *2^15 is exact in f32
+        if not (
+            (q == np.rint(q)).all()
+            and (q >= -32768.0).all()
+            and (q <= 32767.0).all()
+        ):
+            return False
+    return True
+
+
+def _certify_kind(policy: str, samples: np.ndarray) -> str:
+    """Resolve the per-song wire format under `policy`."""
+    if policy != "auto":
+        return policy
+    return "i16b" if _is_s16_exact(samples) else "i24b"
 
 
 def _quantize_i16b(
@@ -295,6 +332,7 @@ class _Decoded:
     raw: object = None  # PreAnalyzedSong (sample_array dropped post-upload)
     error: Optional[BlissError] = None
     n: int = 0
+    kind: str = "f32"  # certified per-song wire format (_certify_kind)
     upload: object = None  # Future resolving to the device handles
 
     def handles_ready(self) -> tuple:
@@ -445,7 +483,7 @@ def analyze_paths_batched(
     workers = decode_workers or min(
         int(options.number_cores), max(len(paths), 1)
     )
-    kind = _upload_kind()
+    policy = _upload_kind()
 
     def decode_one(item):
         order, path = item
@@ -465,12 +503,15 @@ def analyze_paths_batched(
         for d in out:
             if d.error is None:
                 d.n = int(d.raw.sample_array.shape[0])
+                # certify on the decode workers (parallel, and the
+                # samples are hot in cache right after the decode)
+                d.kind = _certify_kind(policy, d.raw.sample_array)
         return out
 
     def upload_one(d: _Decoded, device=None):
         samples = d.raw.sample_array
         d.raw.sample_array = None  # device owns it after the put below
-        return _upload_song(samples, bucket_length(d.n), kind, device)
+        return _upload_song(samples, bucket_length(d.n), d.kind, device)
 
     buckets: dict = {}
     in_flight: list = []  # [(entries, Future[device_features])]
@@ -479,7 +520,7 @@ def analyze_paths_batched(
     def dispatch(bucket_key, entries):
         # a dispatch can block waiting for its inputs' wire transfers;
         # run it off-thread so routing/decode/upload keep flowing
-        padded_len, b = bucket_key
+        padded_len, b, kind = bucket_key
         fut = dispatcher.submit(
             _dispatch_bucket, entries, padded_len, b, version, kind
         )
@@ -503,7 +544,11 @@ def analyze_paths_batched(
             return [(d.path, AnalysisError("empty or too short song."))], None
         padded = bucket_length(d.n)
         b = batch_size if padded <= LONG_SONG else max(1, batch_size // 4)
-        key = (padded, b)
+        # the wire kind is part of the bucket key: under the `auto`
+        # policy a mixed library splits into at most 2x the buckets
+        # (i16b + i24b), keeping the compiled-program count bounded
+        # instead of exploding over per-slot kind combinations
+        key = (padded, b, d.kind)
         buckets.setdefault(key, []).append(d)
         return [], key
 

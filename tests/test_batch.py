@@ -267,6 +267,73 @@ def test_i24b_wire_format_roundtrip():
     assert (err <= peaks * 2.0**-22 + 1e-12).all()
 
 
+def test_s16_grid_certification():
+    """`auto` wire certification: exactly the s16-grid source class gets
+    i16b; anything off-grid (resampled, lossy, 24-bit) gets i24b."""
+    from bliss_tpu.io.batch import _CERT_SLICE, _certify_kind, _is_s16_exact
+
+    rng = np.random.default_rng(7)
+    s16 = (rng.integers(-32768, 32768, 3 * _CERT_SLICE + 17) / 32768.0).astype(
+        np.float32
+    )
+    assert _is_s16_exact(s16)
+    assert _certify_kind("auto", s16) == "i16b"
+
+    # one off-grid sample deep in the tail flips the certificate
+    off = s16.copy()
+    off[-1] = np.float32(0.123456)
+    assert not _is_s16_exact(off)
+    assert _certify_kind("auto", off) == "i24b"
+
+    # 24-bit grid content is NOT s16-exact
+    s24 = (rng.integers(-(2**23), 2**23, 1000) / 2.0**23).astype(np.float32)
+    assert not _is_s16_exact(s24)
+
+    # out-of-range but grid-spaced values must fail the range check
+    loud = s16.copy()
+    loud[5] = np.float32(2.0)
+    assert not _is_s16_exact(loud)
+
+    # forced policies pass through untouched
+    assert _certify_kind("i16b", off) == "i16b"
+    assert _certify_kind("f32", s16) == "f32"
+
+
+def test_batched_auto_wire(data_dir, monkeypatch):
+    """The `auto` policy routes the straight-s16 FLAC over the bit-exact
+    i16b wire and the resampled MP3 over i24b, in ONE driver run with
+    per-kind buckets; features match the exact-f32 wire within the i24b
+    envelope (VERDICT r3 item 1)."""
+    from bliss_tpu.io import batch as batch_mod
+
+    seen = {}
+    orig = batch_mod._certify_kind
+
+    def spy(policy, samples):
+        kind = orig(policy, samples)
+        seen[len(samples)] = kind
+        return kind
+
+    monkeypatch.setattr(batch_mod, "_certify_kind", spy)
+    monkeypatch.setenv("BLISS_UPLOAD", "auto")
+    paths = [
+        data_dir / "s16_mono_22_5kHz.flac",
+        data_dir / "s32_stereo_44_1_kHz.mp3",
+        data_dir / "piano.flac",
+    ]
+    auto = dict(analyze_paths_batched(FFmpegDecoder, paths, batch_size=2))
+    kinds = set(seen.values())  # snapshot: the f32 run below also logs
+    assert "i16b" in kinds and "i24b" in kinds, seen
+    monkeypatch.setenv("BLISS_UPLOAD", "f32")
+    exact = dict(analyze_paths_batched(FFmpegDecoder, paths, batch_size=2))
+    for p in paths:
+        np.testing.assert_allclose(
+            auto[p].analysis.as_arr1(),
+            exact[p].analysis.as_arr1(),
+            atol=5e-6,
+        )
+
+
 def test_batched_i24b_upload_matches_f32(data_dir, monkeypatch):
     monkeypatch.setenv("BLISS_UPLOAD", "i24b")
     paths = [data_dir / "s16_mono_22_5kHz.flac", data_dir / "piano.flac"]
