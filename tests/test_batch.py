@@ -212,6 +212,73 @@ def test_batched_multi_device_matches_single_device(data_dir, monkeypatch):
         np.testing.assert_allclose(f8, f1, atol=1e-6)
 
 
+def test_batched_multi_device_realistic_mix_bit_identical(
+    data_dir, tmp_path, monkeypatch
+):
+    """8-vs-1-device identity over a realistic mix — multiple buckets, a
+    CUE album, a long song routed to the small-B bucket, and partial
+    final buckets — asserting BIT-IDENTICAL features (same wire, same
+    kernels, so shard assembly/ordering must be exact; VERDICT r3
+    weak #5)."""
+    import wave
+
+    import jax
+
+    from bliss_tpu.io import batch as batch_mod
+
+    assert len(jax.devices()) >= 8
+
+    # a ~40 s synthesized s16 WAV + a lowered LONG_SONG threshold puts it
+    # in the B = batch//4 = 2 bucket, exercising the mixed-B driver logic
+    # without minutes of CPU analyzer time on a real 13-min song
+    long_wav = tmp_path / "long_mix.wav"
+    rng = np.random.default_rng(11)
+    t = np.arange(40 * 22050) / 22050.0
+    sig = 0.4 * np.sin(2 * np.pi * 220 * t) + 0.1 * rng.normal(size=t.size)
+    pcm = np.clip(np.round(sig * 32767), -32768, 32767).astype("<i2")
+    with wave.open(str(long_wav), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(22050)
+        w.writeframes(pcm.tobytes())
+    monkeypatch.setattr(batch_mod, "LONG_SONG", 1 << 19)
+
+    paths = (
+        [data_dir / "testcue.cue"]  # 3 tracks (one bucket) + 1 error
+        + [data_dir / "s16_mono_22_5kHz.flac"] * 5  # bucket A, partial
+        + [data_dir / "piano.flac"] * 3  # bucket B, partial
+        + [data_dir / "s32_stereo_44_1_kHz.mp3"] * 2
+        + [long_wav]  # LONG bucket, B=2, 1 present (partial)
+    )
+
+    def run():
+        out = []
+        for p, r in analyze_paths_batched(
+            FFmpegDecoder, paths, batch_size=8
+        ):
+            if isinstance(r, Song):
+                out.append((str(p), str(r.path), r.analysis.as_arr1()))
+            else:
+                out.append((str(p), None, None))
+        return sorted(out, key=lambda x: (x[0], x[1] or ""))
+
+    monkeypatch.setenv("BLISS_ANALYZE_DEVICES", "1")
+    single = run()
+    monkeypatch.setenv("BLISS_ANALYZE_DEVICES", "8")
+    sharded = run()
+
+    assert len(single) == len(sharded) == len(paths) + 3  # CUE fan-out
+    n_songs = 0
+    for (p1, sp1, f1), (p8, sp8, f8) in zip(single, sharded):
+        assert (p1, sp1) == (p8, sp8)
+        if f1 is None:
+            assert f8 is None
+            continue
+        n_songs += 1
+        np.testing.assert_array_equal(f8, f1)  # bit-identical
+    assert n_songs == len(paths) + 2  # all but the CUE error entry
+
+
 def test_batched_multi_device_partial_only(data_dir, monkeypatch):
     """A bucket that never fills (3 songs, batch 8) exercises the
     zero-shard + partial-group assembly path on the mesh."""
