@@ -77,14 +77,44 @@ def main():
     # Sample the whole budget: the tunnel's bandwidth phases change on a
     # minutes timescale, so more passes spread over ~4 min materially
     # raise the chance of measuring a clean window (the pass cap is a
-    # runaway guard, not the sampling driver).
+    # runaway guard, not the sampling driver). The budget ADAPTS to the
+    # measured wire phase: when the link is below the historical median
+    # (~17 MB/s, PERF.md §22) the loop keeps sampling up to an extended
+    # bound instead of reporting a known-bad window as the result.
     budget_s = float(os.environ.get("BLISS_BENCH_BUDGET_S", "240"))
+    budget_max_s = float(os.environ.get("BLISS_BENCH_BUDGET_MAX_S", "420"))
+    wire_good = float(os.environ.get("BLISS_BENCH_WIRE_GOOD_MBS", "12"))
     max_passes = int(os.environ.get("BLISS_BENCH_PASSES", "48"))
+    wire_samples = []
+    w = _measure_wire_mb_s()
+    if w:
+        wire_samples.append(w)
+        print(f"# wire: {w:.1f} MB/s", file=sys.stderr)
     pass_times = []
+    budget_extended = False
     t_begin = time.perf_counter()
     for i in range(max_passes):
-        if i >= 3 and time.perf_counter() - t_begin > budget_s:
-            break
+        spent = time.perf_counter() - t_begin
+        if i >= 3 and spent > budget_s:
+            # bad phase so far? re-check the wire and extend (bounded)
+            if (
+                budget_s >= budget_max_s
+                or max(wire_samples, default=0.0) >= wire_good
+            ):
+                break
+            w = _measure_wire_mb_s()
+            if w:
+                wire_samples.append(w)
+                print(f"# wire: {w:.1f} MB/s (recheck)", file=sys.stderr)
+            if w and w >= wire_good:
+                break  # link is fine NOW; passes already sampled it
+            budget_s = budget_max_s
+            budget_extended = True
+            print(
+                f"# bad tunnel phase (wire {max(wire_samples, default=0):.1f}"
+                f" MB/s < {wire_good}); extending budget to {budget_max_s}s",
+                file=sys.stderr,
+            )
         start = time.perf_counter()
         results = list(
             analyze_paths_batched(FFmpegDecoder, paths, AnalysisOptions())
@@ -93,6 +123,9 @@ def main():
         pass_times.append(run)
         if os.environ.get("BLISS_BENCH_VERBOSE"):
             print(f"# pass {i}: {run:.2f}s", file=sys.stderr)
+    w = _measure_wire_mb_s()
+    if w:
+        wire_samples.append(w)
     elapsed = min(pass_times)
     median = sorted(pass_times)[len(pass_times) // 2]
     if decode_s is not None:
@@ -119,6 +152,14 @@ def main():
         "median_songs_per_sec": round(n_songs / median, 3),
         "median_audio_secs_per_sec": round(audio_secs / median, 1),
         "passes": len(pass_times),
+        # tunnel phase during the run, so the songs/s number is
+        # interpretable: decode+wire co-floor the end-to-end metric on
+        # this sandbox (PERF.md §22) and the link swings ~30x
+        "wire_mb_s": round(max(wire_samples), 1) if wire_samples else None,
+        "wire_mb_s_min": (
+            round(min(wire_samples), 1) if wire_samples else None
+        ),
+        "budget_extended": budget_extended,
     }
     # device-only sustained metric, only while there is comfortable
     # headroom inside the parent watchdog's post-warmup limit: with a
@@ -130,6 +171,34 @@ def main():
     ):
         out.update(_device_sustained(paths))
     print(json.dumps(out))
+
+
+def _measure_wire_mb_s(n_bytes: int = 12 << 20):
+    """Sustained host→device bandwidth through the tunnel, measured the
+    only reliable way (PERF.md §9): a dependent reduction forces the
+    transfer to actually complete (`block_until_ready` on a device_put
+    can return early). Incompressible random bytes — the relay
+    compresses zero-heavy buffers ~2x. Best-effort: returns None on any
+    failure so the headline metric is never at risk."""
+    try:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        buf = np.random.default_rng(0).integers(
+            -128, 128, n_bytes, dtype=np.int8
+        )
+        fn = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
+        # warm the compile (and the first, unmeasured transfer)
+        np.asarray(fn(jax.device_put(buf[: 1 << 20])))
+        fn2 = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
+        t0 = time.perf_counter()
+        np.asarray(fn2(jax.device_put(buf)))
+        dt = time.perf_counter() - t0
+        return n_bytes / dt / 1e6
+    except Exception as exc:  # noqa: BLE001 — diagnostic-only path
+        print(f"# wire measurement skipped: {exc!r}", file=sys.stderr)
+        return None
 
 
 def _device_sustained(paths) -> dict:

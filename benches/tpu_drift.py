@@ -37,7 +37,7 @@ CORPUS = sorted(
 ) + [DATA / "testcue.cue"]
 
 
-def _analyze_corpus() -> dict:
+def analyze_corpus() -> dict:
     """path -> [23] features via the current backend's production path."""
     from bliss_tpu.io.batch import analyze_paths_batched
     from bliss_tpu.io.decoder import FFmpegDecoder
@@ -60,7 +60,7 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
-        print(json.dumps(_analyze_corpus()))
+        print(json.dumps(analyze_corpus()))
         return
 
     # CPU/x64 reference in a child (one process = one backend)
@@ -91,9 +91,12 @@ def main():
         ]
     }
 
-    for kind, enforce in (("f32", True), ("i16b", False)):
+    # f32: isolates analyzer drift; auto: the DEFAULT config (the
+    # contract configuration, also enforced as a test by
+    # tests/test_tpu_drift.py); i16b: the legacy all-quantized diagnostic
+    for kind, enforce in (("f32", True), ("auto", True), ("i16b", False)):
         os.environ["BLISS_UPLOAD"] = kind
-        tpu = _analyze_corpus()
+        tpu = analyze_corpus()
 
         drifts = []
         deg_drifts = []

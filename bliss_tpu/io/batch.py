@@ -230,15 +230,18 @@ def _upload_song(samples: np.ndarray, padded_len: int, kind: str, device=None):
 def _analysis_devices() -> tuple:
     """Devices the batched analyzer spreads bucket batches over.
 
-    All visible devices by default (the production multi-chip path the
-    reference reaches with its per-core thread fan-out,
-    src/song/decoder.rs:278-332); `BLISS_ANALYZE_DEVICES=n` caps it
-    (n=1 reproduces the single-chip driver exactly — used by the
-    8-vs-1-device identity test).
+    All *addressable* devices by default (the production multi-chip
+    path the reference reaches with its per-core thread fan-out,
+    src/song/decoder.rs:278-332) — local_devices, not devices: in a
+    `jax.distributed` cluster this process can only build batches on
+    its own chips (the cross-host path is
+    parallel/distributed.analyze_paths_distributed);
+    `BLISS_ANALYZE_DEVICES=n` caps it (n=1 reproduces the single-chip
+    driver exactly — used by the 8-vs-1-device identity test).
     """
     import jax
 
-    devs = tuple(jax.devices())
+    devs = tuple(jax.local_devices())
     cap = os.environ.get("BLISS_ANALYZE_DEVICES")
     if cap:
         devs = devs[: max(1, int(cap))]
@@ -427,6 +430,9 @@ def _dispatch_sharded(
     global_batch = jax.make_array_from_single_device_arrays(
         (batch, padded_len), NamedSharding(mesh, P("songs", None)), shards
     )
+    # explicit put: under a jax.distributed cluster, jit refuses raw
+    # numpy args with non-replicated shardings even on an all-local mesh
+    lengths = jax.device_put(lengths, NamedSharding(mesh, P("songs")))
     return fn(global_batch, lengths)
 
 

@@ -382,8 +382,12 @@ class Library:
         #: query and reused across queries, so a 100k-song library's
         #: 9 MB matrix crosses the wire once, not per playlist.
         self._matrix_cache = None
+        # timeout: multi-host drivers (parallel/distributed.py
+        # update_library_distributed) interleave per-song transactions
+        # from several processes on one shared DB file — wait out the
+        # file lock instead of surfacing "database is locked"
         self.sqlite_conn = sqlite3.connect(
-            str(config.database_path), check_same_thread=False
+            str(config.database_path), check_same_thread=False, timeout=30.0
         )
         self._upgrade()
         if create:

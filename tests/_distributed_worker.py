@@ -1,7 +1,17 @@
-"""Worker process for the two-host fake-cluster smoke
+"""Worker process for the two-host fake-cluster tests
 (tests/test_distributed.py). Run as:
-    python _distributed_worker.py <process_id> <coordinator_port>
-with JAX_PLATFORMS=cpu and 4 forced host devices in the environment."""
+    python _distributed_worker.py <process_id> <coordinator_port> <scenario> [workdir]
+with JAX_PLATFORMS=cpu and 4 forced host devices in the environment.
+
+Scenarios:
+  smoke    — equal-shape batch analysis + global top-k (the r3 smoke)
+  ragged   — UNEQUAL per-host batch counts (5 vs 3, then 2 vs 0) and
+             mismatched pad lengths, handled inside the seam
+  library  — update_library_distributed: both hosts commit to one
+             shared SQLite DB in <workdir>
+  die      — worker 1 exits right after init; worker 0 must surface a
+             clean error (not hang) when its collective loses the peer
+"""
 
 import pathlib
 import sys
@@ -19,17 +29,13 @@ from bliss_tpu.parallel.distributed import (  # noqa: E402
     global_mesh,
     initialize,
     top_k_distributed,
+    update_library_distributed,
 )
 
+DATA = pathlib.Path(__file__).parent / "data"
 
-def main():
-    pid = int(sys.argv[1])
-    port = sys.argv[2]
-    initialize(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
-    mesh = global_mesh()
-    assert mesh.size == 8, mesh
-    assert len(jax.local_devices()) == 4
 
+def scenario_smoke(pid, mesh):
     # every process derives the same global workload deterministically
     # and contributes its own slice — the multi-host ingest pattern
     rng = np.random.default_rng(0)
@@ -66,6 +72,146 @@ def main():
     exp_idx = np.argsort(d, kind="stable")[:7]
     np.testing.assert_array_equal(np.sort(idx), np.sort(exp_idx))
     assert (dist[:-1] <= dist[1:]).all()
+
+
+def scenario_ragged(pid, mesh):
+    """Unequal per-host counts + mismatched pad lengths, all inside the
+    seam (VERDICT r3 next-step 5)."""
+    from bliss_tpu.models.analyzer import analyze_batch
+
+    rng = np.random.default_rng(42)
+    t0, t1 = 16384, 20480  # hosts pad to different bucket lengths
+    all_sigs = [
+        (rng.normal(size=(5, t0)) * 0.1).astype(np.float32),
+        (rng.normal(size=(3, t1)) * 0.1).astype(np.float32),
+    ]
+    all_lens = [
+        np.array([t0, t0 - 7, t0 - 2048, 9000, t0], np.int32),
+        np.array([t1, 8400, t1 - 1], np.int32),
+    ]
+    feats = analyze_batch_distributed(mesh, all_sigs[pid], all_lens[pid])
+    assert feats.shape == (5 if pid == 0 else 3, 23), feats.shape
+    # parity: local single-process analyzer at the host's own pad length
+    expected = analyze_batch(all_sigs[pid], all_lens[pid])
+    np.testing.assert_allclose(feats, expected, atol=1e-6)
+
+    # one host runs dry entirely (B_local = 0)
+    if pid == 0:
+        sigs = (rng.normal(size=(2, t0)) * 0.1).astype(np.float32)
+        lens = np.array([t0, t0 - 3], np.int32)
+    else:
+        sigs = np.zeros((0, t0), np.float32)
+        lens = np.zeros((0,), np.int32)
+    feats = analyze_batch_distributed(mesh, sigs, lens)
+    assert feats.shape == ((2, 23) if pid == 0 else (0, 23)), feats.shape
+    if pid == 0:
+        np.testing.assert_allclose(
+            feats, analyze_batch(sigs, lens), atol=1e-6
+        )
+
+
+def scenario_library(pid, mesh, workdir):
+    """Both hosts update ONE shared library DB through the global mesh."""
+    from jax.experimental import multihost_utils
+
+    from bliss_tpu.io.decoder import FFmpegDecoder
+    from bliss_tpu.library import BaseConfig, Library
+
+    workdir = pathlib.Path(workdir)
+    config = BaseConfig(config_path=workdir / "config.json")
+    if pid == 0:
+        lib = Library.new(config, FFmpegDecoder)
+        multihost_utils.sync_global_devices("lib_created")
+    else:
+        multihost_utils.sync_global_devices("lib_created")
+        lib = Library(config, FFmpegDecoder, create=False)
+
+    paths = [
+        DATA / "s16_mono_22_5kHz.flac",
+        DATA / "piano.flac",
+        DATA / "s32_stereo_44_1_kHz.mp3",
+        DATA / "s32_stereo_44_1_kHz.flac",
+        DATA / "nonexistent.flac",  # must land in the failed ledger
+    ]
+    success, failure = update_library_distributed(
+        lib, paths, mesh, process_id=pid, num_processes=2
+    )
+    print(f"stored pid={pid} success={success} failure={failure}")
+
+    # both hosts see the complete merged library
+    songs = lib.songs_from_library()
+    assert len(songs) == 4, [str(s.bliss_song.path) for s in songs]
+    failed = lib.get_failed_songs()
+    assert len(failed) == 1 and "nonexistent" in str(
+        failed[0].song_path
+    ), failed
+
+    # features in the shared DB match a local single-process analysis
+    from bliss_tpu.io.batch import analyze_paths_batched
+
+    local = dict(analyze_paths_batched(FFmpegDecoder, paths[:4]))
+    by_path = {str(s.bliss_song.path): s for s in songs}
+    for p in paths[:4]:
+        np.testing.assert_allclose(
+            by_path[str(p)].bliss_song.analysis.as_arr1(),
+            local[p].analysis.as_arr1(),
+            atol=1e-6,
+        )
+
+    # resume semantics: a second distributed update analyzes nothing new
+    s2, f2 = update_library_distributed(
+        lib, paths[:4], mesh, process_id=pid, num_processes=2
+    )
+    assert (s2, f2) == (0, 0), (s2, f2)
+
+
+def scenario_die(pid, mesh):
+    """Worker 1 dies after init; worker 0's next collective must fail
+    cleanly within the heartbeat window instead of hanging."""
+    if pid == 1:
+        print("DISTRIBUTED_WORKER_DYING pid=1", flush=True)
+        import os
+
+        os._exit(17)
+    t = 16384
+    sig = np.zeros((4, t), np.float32)
+    lens = np.full((4,), t, np.int32)
+    try:
+        analyze_batch_distributed(mesh, sig, lens)
+    except BaseException as exc:  # noqa: BLE001 — any clean error is a pass
+        print(
+            f"DOWNED_WORKER_DETECTED pid={pid} {type(exc).__name__}",
+            flush=True,
+        )
+        return
+    raise AssertionError("collective succeeded with a dead peer?")
+
+
+def main():
+    pid = int(sys.argv[1])
+    port = sys.argv[2]
+    scenario = sys.argv[3] if len(sys.argv) > 3 else "smoke"
+    heartbeat = 10 if scenario == "die" else None
+    initialize(
+        f"127.0.0.1:{port}",
+        num_processes=2,
+        process_id=pid,
+        heartbeat_timeout_seconds=heartbeat,
+    )
+    mesh = global_mesh()
+    assert mesh.size == 8, mesh
+    assert len(jax.local_devices()) == 4
+
+    if scenario == "smoke":
+        scenario_smoke(pid, mesh)
+    elif scenario == "ragged":
+        scenario_ragged(pid, mesh)
+    elif scenario == "library":
+        scenario_library(pid, mesh, sys.argv[4])
+    elif scenario == "die":
+        scenario_die(pid, mesh)
+    else:
+        raise SystemExit(f"unknown scenario {scenario}")
 
     print(f"DISTRIBUTED_SMOKE_OK pid={pid}", flush=True)
 

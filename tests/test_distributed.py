@@ -1,6 +1,11 @@
-"""Two-process CPU fake-cluster smoke for the multi-host seam
+"""Two-process CPU fake-cluster tests for the multi-host layer
 (SURVEY §2.3 "Distributed comm backend"): gloo collectives stand in for
-DCN, 4 virtual devices per process stand in for each host's chips."""
+DCN, 4 virtual devices per process stand in for each host's chips.
+
+Scenarios: equal-shape smoke, ragged/unequal per-host workloads, the
+shared-DB `update_library_distributed` driver, and a downed worker
+surfacing a clean error instead of a hang (VERDICT r3 next-step 5).
+"""
 
 import os
 import pathlib
@@ -17,8 +22,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_fake_cluster():
-    port = _free_port()
+def _worker_env() -> dict:
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)  # never touch the TPU tunnel
     env["JAX_PLATFORMS"] = "cpu"
@@ -29,6 +33,12 @@ def test_two_process_fake_cluster():
     env["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=4"
     ).strip()
+    return env
+
+
+def _run_cluster(scenario: str, extra_args=(), timeout=600):
+    port = _free_port()
+    env = _worker_env()
     procs = [
         subprocess.Popen(
             [
@@ -36,6 +46,8 @@ def test_two_process_fake_cluster():
                 str(HERE / "_distributed_worker.py"),
                 str(pid),
                 str(port),
+                scenario,
+                *[str(a) for a in extra_args],
             ],
             env=env,
             stdout=subprocess.PIPE,
@@ -47,12 +59,54 @@ def test_two_process_fake_cluster():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=600)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
             raise
         outs.append(out)
+    return procs, outs
+
+
+def _assert_ok(procs, outs):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
         assert f"DISTRIBUTED_SMOKE_OK pid={pid}" in out, out[-4000:]
+
+
+def test_two_process_fake_cluster():
+    procs, outs = _run_cluster("smoke")
+    _assert_ok(procs, outs)
+
+
+def test_two_process_ragged_hosts():
+    """Unequal per-host batch counts (5 vs 3, 2 vs 0) and mismatched pad
+    lengths are absorbed inside analyze_batch_distributed."""
+    procs, outs = _run_cluster("ragged")
+    _assert_ok(procs, outs)
+
+
+def test_two_process_shared_library_update(tmp_path):
+    """update_library_distributed: both hosts analyze their slice over
+    the global mesh and commit to one shared SQLite DB; both see the
+    merged library, the failed ledger, and resume-no-op semantics."""
+    procs, outs = _run_cluster("library", extra_args=[tmp_path])
+    _assert_ok(procs, outs)
+    for out in outs:
+        assert "stored pid=" in out
+
+
+def test_two_process_downed_worker():
+    """Worker 1 exits after init; worker 0 must fail CLEANLY (error or
+    cluster shutdown) within the heartbeat window — never hang."""
+    procs, outs = _run_cluster("die", timeout=240)
+    # worker 1 deliberately died with code 17
+    assert procs[1].returncode == 17, outs[1][-2000:]
+    assert "DISTRIBUTED_WORKER_DYING pid=1" in outs[1]
+    # worker 0 either catches the collective failure (our marker) or the
+    # coordination service terminates it with an error — both are clean;
+    # a hang would have tripped the communicate() timeout above
+    out0 = outs[0]
+    assert (
+        "DOWNED_WORKER_DETECTED pid=0" in out0 or procs[0].returncode != 0
+    ), out0[-4000:]
