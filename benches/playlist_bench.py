@@ -200,9 +200,40 @@ def main():
     def chain():
         _device_greedy_chain(library, 0, euclidean_distance, alive)
 
-    t_chain = p50(chain, queries=3)
+    # the chain is an N-step sequential scan; on a CPU backend at
+    # north-star sizes it takes hours — gate it behind --chain there
+    import jax as _jax
+
+    if _jax.default_backend() != "cpu" or args.n <= 200_000 or args.chain:
+        t_chain = p50(chain, queries=3)
+        print(
+            f"song_to_song full chain (N={args.n}): p50 {t_chain*1e3:.1f} ms"
+        )
+
+    # sharded top-k over the full device mesh (the 100k–1M north-star's
+    # multi-chip query kernel, SURVEY §2.3 row 6)
+    import jax
+
+    from bliss_tpu.parallel.mesh import make_mesh, sharded_top_k
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh()
+    # place the (mesh-padded) matrix once; queries then measure the
+    # sharded kernel, not the host->device upload
+    n_pad = -(-args.n // mesh.size) * mesh.size
+    lib_pad = np.concatenate(
+        [library, np.zeros((n_pad - args.n, 23), np.float32)]
+    )
+    lib_dev = jax.device_put(
+        lib_pad, NamedSharding(mesh, P(mesh.axis_names[0], None))
+    )
+    t_topk = p50(
+        lambda: sharded_top_k(mesh, lib_dev, seed, k=32, n_real=args.n)
+    )
     print(
-        f"song_to_song full chain (N={args.n}): p50 {t_chain*1e3:.1f} ms"
+        f"sharded_top_k (N={args.n}, {mesh.size} dev): "
+        f"p50 {t_topk*1e3:.1f} ms"
     )
 
     import json

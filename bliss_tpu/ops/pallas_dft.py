@@ -442,13 +442,31 @@ def _ct_precision():
     return jax.lax.Precision.HIGHEST
 
 
+def _ct_b16x3() -> bool:
+    """Use manual 3-pass bf16x3 dots (Precision.HIGH emulation) instead
+    of HIGHEST's 6 passes in the CT kernel. Halves the kernel's MXU time
+    (measured 8.25 ms vs ~15-20 ms per 8x5-min batch, PERF r4) at a
+    measured ~1e-6 feature-level cost — still well inside the ≤1e-4
+    corpus drift contract. BLISS_CT_PREC=highest restores 6-pass."""
+    import os
+
+    return os.environ.get("BLISS_CT_PREC", "b16x3") != "highest"
+
+
+def _split_bf16(a):
+    """f32 -> (hi, lo) bf16 pair with a + err == hi + lo (err ~ 2^-16)."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
 def supported_ct(window: int) -> bool:
     """Windows the fused CT kernel covers: W = N2*128, N2 in [8, 128]."""
     n2 = window // _LANES
     return window % _LANES == 0 and 8 <= n2 <= 128
 
 
-def _make_ct_kernel(n2: int, fblock: int):
+def _make_ct_kernel(n2: int, fblock: int, b16x3: bool = False):
     precision = _ct_precision()
 
     def kernel(x_ref, c2_ref, s2_ref, tc_ref, ts_ref, c1_ref, s1_ref,
@@ -462,43 +480,92 @@ def _make_ct_kernel(n2: int, fblock: int):
                 precision=precision,
             )
 
+        def dot3(ah, al, bh, bl):
+            # bf16x3 (Precision.HIGH emulation, Mosaic won't lower HIGH):
+            # 3 DEFAULT bf16 passes; the dropped lo*lo term is ~2^-16
+            # relative — measured ~1e-6 at the chroma-feature level
+            d = functools.partial(
+                jax.lax.dot_general, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            )
+            return d(ah, bh) + (d(ah, bl) + d(al, bh))
+
         xb = x_ref[:, :, :]                        # [FB, n2, 128] natural
         # sublane-only permutation (lanes fixed) — measured cheaper in
         # VMEM than the 870 MB XLA transpose pass it replaces
         xt = jnp.transpose(xb, (1, 0, 2))          # [n2, FB, 128]
         xw = xt.reshape(n2, fblock * 128) * win_ref[:, :]
-        are = dot(c2_ref[:, :], xw)                # [n2, FB*128]
-        aim = -dot(s2_ref[:, :], xw)
+        if b16x3:
+            xh, xl = _split_bf16(xw)
+            c2h, c2l = _split_bf16(c2_ref[:, :])
+            s2h, s2l = _split_bf16(s2_ref[:, :])
+            are = dot3(c2h, c2l, xh, xl)
+            aim = -dot3(s2h, s2l, xh, xl)
+        else:
+            are = dot(c2_ref[:, :], xw)            # [n2, FB*128]
+            aim = -dot(s2_ref[:, :], xw)
         tc = tc_ref[:, :]
         ts = ts_ref[:, :]
         bre = are * tc + aim * ts
         bim = aim * tc - are * ts
         b2re = bre.reshape(n2 * fblock, _LANES)    # [(k2 f), n1]
         b2im = bim.reshape(n2 * fblock, _LANES)
-        xre = dot(b2re, c1_ref[:, :]) + dot(b2im, s1_ref[:, :])
-        xim = dot(b2im, c1_ref[:, :]) - dot(b2re, s1_ref[:, :])
+        if b16x3:
+            reh, rel = _split_bf16(b2re)
+            imh, iml = _split_bf16(b2im)
+            c1h, c1l = _split_bf16(c1_ref[:, :])
+            s1h, s1l = _split_bf16(s1_ref[:, :])
+            xre = dot3(reh, rel, c1h, c1l) + dot3(imh, iml, s1h, s1l)
+            xim = dot3(imh, iml, c1h, c1l) - dot3(reh, rel, s1h, s1l)
+        else:
+            xre = dot(b2re, c1_ref[:, :]) + dot(b2im, s1_ref[:, :])
+            xim = dot(b2im, c1_ref[:, :]) - dot(b2re, s1_ref[:, :])
         mags = jnp.sqrt(xre * xre + xim * xim)     # [(k2 f), k1]
         out_ref[:, :, :] = mags.reshape(n2, fblock, _LANES)
 
     return kernel
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n_frames", "n_bins", "interpret", "fblock")
-)
 def pallas_stft_mags_ct(
     frames: jnp.ndarray,
     n_frames: int,
     n_bins: int | None = None,
     interpret: bool = False,
     fblock: int | None = None,
+    b16x3: bool | None = None,
 ) -> jnp.ndarray:
     """|DFT| of hann-windowed `frames [F, W]` -> spectrum `[n_bins, n_frames]`.
 
     Transposed (bins-major) output, matching `ops.spectral.stft`'s
     orientation. Requires `supported_ct(W)`. F may exceed `n_frames`
     (padded frames are computed and sliced away).
+
+    The env defaults (BLISS_CT_FBLOCK / BLISS_CT_PREC) are resolved here,
+    OUTSIDE the jitted impl, so they join the jit cache key — flipping
+    them mid-process takes effect instead of silently reusing the first
+    trace.
     """
+    if fblock is None:
+        fblock = _ct_fblock()
+    if b16x3 is None:
+        b16x3 = _ct_b16x3()
+    return _pallas_stft_mags_ct_impl(
+        frames, n_frames, n_bins, interpret, fblock, b16x3
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_frames", "n_bins", "interpret", "fblock", "b16x3"),
+)
+def _pallas_stft_mags_ct_impl(
+    frames: jnp.ndarray,
+    n_frames: int,
+    n_bins: int | None,
+    interpret: bool,
+    fblock: int,
+    b16x3: bool,
+) -> jnp.ndarray:
     from .windows import hann_periodic
 
     w = frames.shape[-1]
@@ -506,8 +573,6 @@ def pallas_stft_mags_ct(
     n2 = w // _LANES  # W = n2 * 128; k = k2 + n2*k1
     if n_bins is None:
         n_bins = w // 2 + 1
-    if fblock is None:
-        fblock = _ct_fblock()
     f = frames.shape[0]
     fpad = -(-f // fblock) * fblock
     dt = jnp.float32
@@ -539,7 +604,7 @@ def pallas_stft_mags_ct(
 
     n_blocks = fpad // fblock
     out = pl.pallas_call(
-        _make_ct_kernel(n2, fblock),
+        _make_ct_kernel(n2, fblock, b16x3=b16x3),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((fblock, n2, _LANES), lambda fb: (fb, 0, 0)),

@@ -92,6 +92,7 @@ def sharded_top_k(
     seeds: np.ndarray,
     k: int,
     weights: np.ndarray | None = None,
+    n_real: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k closest library rows to a seed set, with a per-shard local
     top-k then a global merge (one tiny cross-chip gather instead of
@@ -108,19 +109,31 @@ def sharded_top_k(
     from jax import shard_map
 
     axis = mesh.axis_names[0]
-    n = library.shape[0]
+    # n_real: rows beyond it are caller-side padding (a pre-placed
+    # mesh-multiple matrix) and must never be selected
+    n = library.shape[0] if n_real is None else n_real
     f = library.shape[-1]
     w = np.eye(f, dtype=np.float32) if weights is None else weights
     n_dev = mesh.size
     k = min(k, n)
     if k <= 0:
         return np.zeros(0, np.int64), np.zeros(0, np.float32)
-    shard_n = -(-n // n_dev)  # ceil: rows per shard after padding
-    n_pad = shard_n * n_dev
-    if n_pad != n:
-        library = np.concatenate(
-            [library, np.zeros((n_pad - n, f), library.dtype)]
-        )
+    if n_real is not None:
+        if library.shape[0] % n_dev:
+            raise ValueError(
+                f"pre-padded library ({library.shape[0]} rows) must be a "
+                f"multiple of the mesh size {n_dev} when n_real is given"
+            )
+        shard_n = library.shape[0] // n_dev
+        pre_placed = isinstance(library, jax.Array)
+    else:
+        shard_n = -(-n // n_dev)  # ceil: rows per shard after padding
+        n_pad = shard_n * n_dev
+        pre_placed = isinstance(library, jax.Array) and n_pad == n
+        if n_pad != n:
+            library = np.concatenate(
+                [np.asarray(library), np.zeros((n_pad - n, f), np.float32)]
+            )
     k_local = min(k, shard_n)
 
     @functools.partial(
@@ -141,7 +154,13 @@ def sharded_top_k(
 
     lib_sharding = NamedSharding(mesh, P(axis, None))
     rep = NamedSharding(mesh, P())
-    lib = jax.device_put(jnp.asarray(library, jnp.float32), lib_sharding)
+    # a caller-placed [N(mesh-multiple), F] jax.Array is used as-is —
+    # repeated queries then skip the host->device matrix upload
+    lib = (
+        library
+        if pre_placed
+        else jax.device_put(jnp.asarray(library, jnp.float32), lib_sharding)
+    )
     s = jax.device_put(jnp.asarray(seeds, jnp.float32), rep)
     m = jax.device_put(jnp.asarray(w, jnp.float32), rep)
     idx, dist = jax.jit(local_topk)(lib, s, m)

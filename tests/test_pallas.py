@@ -223,7 +223,14 @@ def test_hardware_radix_select_matches_bisect():
     os.environ.get("BLISS_TEST_TPU") != "1",
     reason="hardware kernel test needs BLISS_TEST_TPU=1 (real TPU)",
 )
-def test_hardware_ct_matches_xla_ct():
+@pytest.mark.parametrize(
+    "b16x3,bound",
+    [
+        (False, 1e-6),  # 6-pass HIGHEST dots
+        (True, 1e-5),  # 3-pass bf16x3 (measured ~1.5e-6, PERF r4)
+    ],
+)
+def test_hardware_ct_matches_xla_ct(b16x3, bound):
     """CT-8192 Pallas kernel vs the XLA CT matmul path, on chip."""
     import jax
 
@@ -236,12 +243,12 @@ def test_hardware_ct_matches_xla_ct():
     frames = jnp.asarray(
         (rng.normal(size=(f, w)) * 0.1).astype(np.float32)
     )
-    got = np.asarray(pallas_stft_mags_ct(frames, n_frames=f))
+    got = np.asarray(pallas_stft_mags_ct(frames, n_frames=f, b16x3=b16x3))
     want = np.asarray(
         _rdft_mags_ct(frames * hann_periodic(w), 4097)
     ).T
     rel = np.abs(got - want).max() / np.abs(want).max()
-    assert rel < 1e-6, rel
+    assert rel < bound, rel
 
 
 @pytest.mark.skipif(
