@@ -466,6 +466,90 @@ def supported_ct(window: int) -> bool:
     return window % _LANES == 0 and 8 <= n2 <= 128
 
 
+def _make_ct_fused_kernel(n2: int, fblock: int, hop: int, b16x3: bool):
+    """CT kernel with IN-KERNEL framing.
+
+    The XLA framing pass (vmapped dynamic_slice over the reflect-padded
+    signal) writes `window/hop`-amplified frames through HBM — measured
+    10.6 ms per 8x5-min batch for the 8192/2205 chroma framing, with the
+    kernel then re-reading the same 786 MB. Here each grid step DMAs one
+    overlapping signal window (Element-indexed block whose 8-row-aligned
+    start the index map computes; the sub-row residual arrives as a
+    per-block scalar row) and extracts its `fblock` frames in VMEM: a
+    dynamic sublane slice + a dynamic lane roll per frame — no per-frame
+    HBM traffic at all. Measured 26.3 -> 12.5 ms for framing+DFT, output
+    bit-identical to the XLA-framed kernel (the CT math is unchanged).
+    """
+    precision = _ct_precision()
+    w = n2 * _LANES
+
+    def kernel(r_ref, x_ref, c2_ref, s2_ref, tc_ref, ts_ref, c1_ref,
+               s1_ref, win_ref, out_ref):
+        from jax.experimental.pallas import tpu as pltpu
+
+        dn = (((1,), (0,)), ((), ()))
+
+        def dot(a, b):
+            return jax.lax.dot_general(
+                a, b, dimension_numbers=dn,
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+
+        def dot3(ah, al, bh, bl):
+            d = functools.partial(
+                jax.lax.dot_general, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            )
+            return d(ah, bh) + (d(ah, bl) + d(al, bh))
+
+        r = r_ref[0, 0]  # frame 0's sample offset within this block
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (n2, _LANES), 1)
+        cols = []
+        for j in range(fblock):
+            e = r + hop * j
+            row = e // 128
+            lane = jnp.remainder(e, 128)
+            rows = x_ref[pl.ds(row, n2 + 1), :]          # [n2+1, 128]
+            rolled = pltpu.roll(                          # left-roll lane
+                rows, shift=jnp.remainder(128 - lane, 128), axis=1
+            )
+            frame = jnp.where(
+                lane_iota < 128 - lane, rolled[:n2, :], rolled[1:, :]
+            )
+            cols.append(frame)  # frame j in [n2, n1] layout
+        xw = jnp.concatenate(cols, axis=1) * win_ref[:, :]
+
+        if b16x3:
+            xh, xl = _split_bf16(xw)
+            c2h, c2l = _split_bf16(c2_ref[:, :])
+            s2h, s2l = _split_bf16(s2_ref[:, :])
+            are = dot3(c2h, c2l, xh, xl)
+            aim = -dot3(s2h, s2l, xh, xl)
+        else:
+            are = dot(c2_ref[:, :], xw)
+            aim = -dot(s2_ref[:, :], xw)
+        tc = tc_ref[:, :]
+        ts = ts_ref[:, :]
+        bre = are * tc + aim * ts
+        bim = aim * tc - are * ts
+        b2re = bre.reshape(n2 * fblock, _LANES)
+        b2im = bim.reshape(n2 * fblock, _LANES)
+        if b16x3:
+            reh, rel = _split_bf16(b2re)
+            imh, iml = _split_bf16(b2im)
+            c1h, c1l = _split_bf16(c1_ref[:, :])
+            s1h, s1l = _split_bf16(s1_ref[:, :])
+            xre = dot3(reh, rel, c1h, c1l) + dot3(imh, iml, s1h, s1l)
+            xim = dot3(imh, iml, c1h, c1l) - dot3(reh, rel, s1h, s1l)
+        else:
+            xre = dot(b2re, c1_ref[:, :]) + dot(b2im, s1_ref[:, :])
+            xim = dot(b2im, c1_ref[:, :]) - dot(b2re, s1_ref[:, :])
+        mags = jnp.sqrt(xre * xre + xim * xim)
+        out_ref[:, :, :] = mags.reshape(n2, fblock, _LANES)
+
+    return kernel
+
+
 def _make_ct_kernel(n2: int, fblock: int, b16x3: bool = False):
     precision = _ct_precision()
 
@@ -524,6 +608,129 @@ def _make_ct_kernel(n2: int, fblock: int, b16x3: bool = False):
         out_ref[:, :, :] = mags.reshape(n2, fblock, _LANES)
 
     return kernel
+
+
+def pallas_stft_mags_ct_fused(
+    padded: jnp.ndarray,
+    window: int,
+    hop: int,
+    n_frames: int,
+    n_bins: int | None = None,
+    fblock: int | None = None,
+    b16x3: bool | None = None,
+) -> jnp.ndarray:
+    """|DFT| spectrum `[n_bins, n_frames]` straight from the padded
+    signal — frame `f` is `padded[f*hop : f*hop + window]`, extracted
+    inside the kernel (see `_make_ct_fused_kernel`). Bit-identical to
+    `pallas_stft_mags_ct(frame_signal_reflect-style frames, ...)` at the
+    same precision flags, minus the framing pass's HBM traffic.
+
+    TPU-only (Element-indexed blocks + `pltpu.roll` have no interpret
+    support guarantee); `supported_ct(window)` required.
+    """
+    if fblock is None:
+        fblock = _ct_fblock()
+    if b16x3 is None:
+        b16x3 = _ct_b16x3()
+    return _pallas_stft_mags_ct_fused_impl(
+        padded, window, hop, n_frames, n_bins, fblock, b16x3
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("window", "hop", "n_frames", "n_bins", "fblock",
+                     "b16x3"),
+)
+def _pallas_stft_mags_ct_fused_impl(
+    padded: jnp.ndarray,
+    window: int,
+    hop: int,
+    n_frames: int,
+    n_bins: int | None,
+    fblock: int,
+    b16x3: bool,
+) -> jnp.ndarray:
+    import numpy as np
+
+    from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+    import jax._src.pallas.core as pcore
+
+    from .windows import hann_periodic
+
+    w = window
+    assert supported_ct(w), w
+    n2 = w // _LANES
+    if n_bins is None:
+        n_bins = w // 2 + 1
+    fpad = -(-n_frames // fblock) * fblock
+    n_blocks = fpad // fblock
+    dt = jnp.float32
+
+    def tw(rows, cols, mod):
+        r = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+        theta = ((r * c) % mod).astype(dt) * (2.0 * math.pi / mod)
+        return jnp.cos(theta), jnp.sin(theta)
+
+    c2, s2 = tw(n2, n2, n2)
+    t_c, t_s = tw(n2, _LANES, w)
+    c1, s1 = tw(_LANES, _LANES, 128)
+    tcb = jnp.tile(t_c[:, None, :], (1, fblock, 1)).reshape(n2, fblock * 128)
+    tsb = jnp.tile(t_s[:, None, :], (1, fblock, 1)).reshape(n2, fblock * 128)
+    win2 = hann_periodic(w).astype(dt).reshape(n2, _LANES)
+    winb = jnp.tile(win2[:, None, :], (1, fblock, 1)).reshape(
+        n2, fblock * 128
+    )
+
+    # signal rows: block b starts at the 8-aligned floor of sample
+    # hop*fblock*b; the in-block residual (< 1024 + 127) rides rvec
+    in_rows = -(-((fblock - 1) * hop + w + 1024) // 128) // 8 * 8 + 8
+    starts = (hop * fblock) * np.arange(n_blocks, dtype=np.int64)
+    srow = (starts // 128) // 8 * 8
+    rvec = jnp.asarray(
+        np.broadcast_to(
+            (starts - 128 * srow)[:, None, None], (n_blocks, 8, 128)
+        ).reshape(n_blocks * 8, 128),
+        jnp.int32,
+    )
+    rows_needed = int(srow[-1]) + in_rows
+    t = padded.shape[0]
+    rpad = rows_needed * 128
+    if t < rpad:
+        padded = jnp.pad(padded, (0, rpad - t))
+    else:
+        padded = padded[:rpad]
+    sig2d = padded.reshape(-1, 128)
+
+    def sig_index(fb):
+        return ((hop * fblock * fb) // 128) // 8 * 8, 0
+
+    out = pl.pallas_call(
+        _make_ct_fused_kernel(n2, fblock, hop, b16x3),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda fb: (fb, 0)),
+            pl.BlockSpec(
+                (pcore.Element(in_rows), pcore.Element(128)), sig_index
+            ),
+            pl.BlockSpec((n2, n2), lambda fb: (0, 0)),
+            pl.BlockSpec((n2, n2), lambda fb: (0, 0)),
+            pl.BlockSpec((n2, fblock * 128), lambda fb: (0, 0)),
+            pl.BlockSpec((n2, fblock * 128), lambda fb: (0, 0)),
+            pl.BlockSpec((_LANES, _LANES), lambda fb: (0, 0)),
+            pl.BlockSpec((_LANES, _LANES), lambda fb: (0, 0)),
+            pl.BlockSpec((n2, fblock * 128), lambda fb: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((n2, fblock, _LANES), lambda fb: (0, fb, 0)),
+        out_shape=jax.ShapeDtypeStruct((n2, fpad, _LANES), jnp.float32),
+    )(rvec, sig2d, c2, s2, tcb, tsb, c1, s1, winb)
+
+    k1_keep = (n_bins - 1) // n2 + 1
+    spec = jnp.transpose(out[:, :, :k1_keep], (2, 0, 1)).reshape(
+        k1_keep * n2, fpad
+    )
+    return spec[:n_bins, :n_frames]
 
 
 def pallas_stft_mags_ct(

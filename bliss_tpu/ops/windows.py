@@ -102,20 +102,18 @@ def frame_signal(
     return _slice_frames(signal, starts, window_length)
 
 
-def frame_signal_reflect(
-    signal: jnp.ndarray,
-    length,
-    window_length: int,
-    hop_length: int,
-    n_frames: int,
+def reflect_pad_signal(
+    signal: jnp.ndarray, length, window_length: int
 ) -> jnp.ndarray:
-    """Frame a reflect-padded signal with a *dynamic* valid `length`.
+    """The padding half of `frame_signal_reflect`: reflect-pad a signal
+    with a *dynamic* valid `length` so that frame `f` of the reference
+    stft equals `padded[f*hop : f*hop + window]`.
 
-    Equivalent to `reflect_pad(signal[:length], window//2)` followed by
-    strided framing (reference stft, src/utils.rs:26-64). The static
+    Equivalent to `reflect_pad(signal[:length], window//2)` plus a
+    `window`-sized zero tail (so trailing frames read zeros). The static
     prefix reflection is a reversed slice; the dynamic suffix reflection
-    around `length` is one `pad`-sized reversed dynamic slice scattered at
-    `length + pad`; frames then become contiguous window slices.
+    around `length` is one `pad`-sized reversed dynamic slice scattered
+    at `length + pad`.
 
     Requires `window_length // 2 <= length - 1` (guaranteed by the
     reference's minimum-song-length check, src/song/mod.rs:417-429) and
@@ -134,7 +132,19 @@ def frame_signal_reflect(
     tail_src = jax.lax.dynamic_slice(
         padded, (jnp.maximum(length - 1 - pad, 0) + pad,), (pad,)
     )[::-1]
-    padded = jax.lax.dynamic_update_slice(padded, tail_src, (pad + length,))
+    return jax.lax.dynamic_update_slice(padded, tail_src, (pad + length,))
 
+
+def frame_signal_reflect(
+    signal: jnp.ndarray,
+    length,
+    window_length: int,
+    hop_length: int,
+    n_frames: int,
+) -> jnp.ndarray:
+    """Frame a reflect-padded signal with a *dynamic* valid `length`
+    (reference stft, src/utils.rs:26-64): `reflect_pad_signal` followed
+    by contiguous window slices."""
+    padded = reflect_pad_signal(signal, length, window_length)
     starts = jnp.arange(n_frames, dtype=jnp.int32) * hop_length
     return _slice_frames(padded, starts, window_length)

@@ -255,6 +255,38 @@ def test_hardware_ct_matches_xla_ct(b16x3, bound):
     os.environ.get("BLISS_TEST_TPU") != "1",
     reason="hardware kernel test needs BLISS_TEST_TPU=1 (real TPU)",
 )
+def test_hardware_ct_fused_framing_bit_identical():
+    """In-kernel framing CT == XLA framing + frame-consuming CT kernel,
+    bit for bit, on chip — including the ragged tail and short signals."""
+    import jax
+
+    from bliss_tpu.ops.pallas_dft import (
+        pallas_stft_mags_ct,
+        pallas_stft_mags_ct_fused,
+    )
+    from bliss_tpu.ops.windows import (
+        frame_signal_reflect,
+        n_frames_stft,
+        reflect_pad_signal,
+    )
+
+    assert jax.default_backend() == "tpu"
+    rng = np.random.default_rng(11)
+    w, hop = 8192, 2205
+    for t in (22050 * 30, 22050 * 30 + 1234, 9000):
+        sig = jnp.asarray((rng.normal(size=t) * 0.1).astype(np.float32))
+        nf = int(n_frames_stft(t, hop))
+        frames = frame_signal_reflect(sig, t, w, hop, nf)
+        ref = np.asarray(pallas_stft_mags_ct(frames, nf))
+        padded = reflect_pad_signal(sig, t, w)
+        got = np.asarray(pallas_stft_mags_ct_fused(padded, w, hop, nf))
+        np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.skipif(
+    os.environ.get("BLISS_TEST_TPU") != "1",
+    reason="hardware kernel test needs BLISS_TEST_TPU=1 (real TPU)",
+)
 def test_hardware_fused_descriptor_paths_match():
     """Fused timbral/specflux kernels vs the mags-materializing paths,
     feature-level, on chip."""
