@@ -139,6 +139,43 @@ def bench_library(args):
     print(json.dumps(out))
 
 
+def _bench_topk(args, library, p50=None):
+    """sharded_top_k p50 over the full visible mesh, matrix pre-placed
+    (measures the query kernel, not the host->device upload)."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bliss_tpu.parallel.mesh import make_mesh, sharded_top_k
+
+    if p50 is None:
+        def p50(fn, queries=None):
+            times = []
+            fn()
+            for _ in range(queries or args.queries):
+                t0 = time.perf_counter()
+                fn()
+                times.append(time.perf_counter() - t0)
+            return statistics.median(times)
+
+    seed = [library[0]]
+    mesh = make_mesh()
+    n_pad = -(-args.n // mesh.size) * mesh.size
+    lib_pad = np.concatenate(
+        [library, np.zeros((n_pad - args.n, 23), np.float32)]
+    )
+    lib_dev = jax.device_put(
+        lib_pad, NamedSharding(mesh, P(mesh.axis_names[0], None))
+    )
+    t_topk = p50(
+        lambda: sharded_top_k(mesh, lib_dev, seed, k=32, n_real=args.n)
+    )
+    print(
+        f"sharded_top_k (N={args.n}, {mesh.size} dev): "
+        f"p50 {t_topk*1e3:.1f} ms"
+    )
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--n", type=int, default=100_000)
@@ -152,6 +189,13 @@ def main():
         "--chain",
         action="store_true",
         help="force the song_to_song chain bench even on CPU",
+    )
+    parser.add_argument(
+        "--topk-only",
+        action="store_true",
+        help="only the sharded_top_k kernel (skips the upload-bound "
+        "distance/order benches — the honest device metric on the "
+        "tunneled sandbox)",
     )
     args = parser.parse_args()
 
@@ -171,6 +215,10 @@ def main():
     rng = np.random.default_rng(0)
     library = rng.normal(size=(args.n, 23)).astype(np.float32)
     eye = np.eye(23, dtype=np.float32)
+
+    if args.topk_only:
+        _bench_topk(args, library)
+        return
 
     def p50(fn, queries=None):
         times = []
@@ -212,29 +260,7 @@ def main():
 
     # sharded top-k over the full device mesh (the 100k–1M north-star's
     # multi-chip query kernel, SURVEY §2.3 row 6)
-    import jax
-
-    from bliss_tpu.parallel.mesh import make_mesh, sharded_top_k
-
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    mesh = make_mesh()
-    # place the (mesh-padded) matrix once; queries then measure the
-    # sharded kernel, not the host->device upload
-    n_pad = -(-args.n // mesh.size) * mesh.size
-    lib_pad = np.concatenate(
-        [library, np.zeros((n_pad - args.n, 23), np.float32)]
-    )
-    lib_dev = jax.device_put(
-        lib_pad, NamedSharding(mesh, P(mesh.axis_names[0], None))
-    )
-    t_topk = p50(
-        lambda: sharded_top_k(mesh, lib_dev, seed, k=32, n_real=args.n)
-    )
-    print(
-        f"sharded_top_k (N={args.n}, {mesh.size} dev): "
-        f"p50 {t_topk*1e3:.1f} ms"
-    )
+    _bench_topk(args, library, p50)
 
     import json
 

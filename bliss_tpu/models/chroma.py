@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -232,12 +233,19 @@ def pitch_tuning(
         # the 100 comparison columns (measured 17 ms -> 3 ms).
         idx_m = jnp.where(sel, idx, jnp.int32(n_bins))
         idx_m = jax.lax.optimization_barrier(idx_m)
-        iota = jnp.arange(n_bins, dtype=jnp.int32)
-        counts = jnp.sum(
-            idx_m[..., None] == iota,
-            axis=tuple(range(idx_m.ndim)),
-            dtype=jnp.int32,
-        )
+        if os.environ.get("BLISS_PALLAS_HIST") != "0":
+            # one-pass VMEM histogram kernel (XLA's compare-and-reduce
+            # re-sweeps the plane per comparison group: ~8 ms -> <1 ms)
+            from ..ops.pallas_hist import histogram_int_plane
+
+            counts = histogram_int_plane(idx_m, n_bins)
+        else:
+            iota = jnp.arange(n_bins, dtype=jnp.int32)
+            counts = jnp.sum(
+                idx_m[..., None] == iota,
+                axis=tuple(range(idx_m.ndim)),
+                dtype=jnp.int32,
+            )
         any_sel = jnp.sum(counts) > 0  # == any(sel), no extra pass
     else:
         counts = jnp.zeros((n_bins,), jnp.int32).at[idx].add(

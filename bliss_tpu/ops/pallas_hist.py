@@ -1,0 +1,74 @@
+"""Pallas TPU kernel: small-cardinality histogram of an int32 plane.
+
+The tuning estimator needs a 100-bin histogram over the ~[1430, 3360]
+pip_track index plane (src/chroma.rs:334-359). A scatter-add is
+pathological on TPU; the XLA compare-and-reduce workaround
+(`sum(idx[..., None] == iota(100))`, models/chroma.py) is correct but
+memory-bound: XLA materializes/sweeps the plane per comparison group
+(measured ~8 ms inside the tuning stage per 8x5-min batch). This kernel
+reads the plane ONCE into VMEM and does all 100 comparisons in-core,
+emitting one [8, 128] partial-count tile per grid block; the caller sums
+the tiny partials.
+
+Counts are exact: accumulation is f32 (< 2^24 elements per block) and
+the cross-block sum is integer-valued f32 (exact up to 2^24 total).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+_LANES = 128
+_ROW_BLOCK = 256
+
+
+def _make_kernel(n_bins: int, cols: int):
+    def kernel(idx_ref, out_ref):
+        idx = idx_ref[:, :]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+        # per-bin masked counts; bins live on lanes of one output row
+        row = jnp.zeros((1, _LANES), jnp.float32)
+        for b in range(n_bins):
+            cnt = jnp.sum((idx == b).astype(jnp.float32))
+            row = row + jnp.where(lane == b, cnt, 0.0)
+        out_ref[:, :] = jnp.broadcast_to(row, (8, _LANES)) * jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 0) == 0,
+            1.0,
+            0.0,
+        )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_bins",))
+def histogram_int_plane(idx: jnp.ndarray, n_bins: int) -> jnp.ndarray:
+    """Counts of `idx == b` for b in [0, n_bins) over an int32 array.
+
+    `n_bins` must be <= 128 (bins live on lanes). Values outside
+    [0, n_bins) are ignored (the caller uses `n_bins` as the masked-out
+    sentinel). Returns `[n_bins]` int32.
+    """
+    assert n_bins <= _LANES, n_bins
+    if idx.ndim == 1:
+        idx = idx.reshape(1, -1)
+    if idx.ndim > 2:
+        idx = idx.reshape(-1, idx.shape[-1])
+    rows, cols = idx.shape
+    rb = min(_ROW_BLOCK, -(-rows // 8) * 8)
+    rpad = -(-rows // rb) * rb
+    if rpad != rows:
+        idx = jnp.pad(idx, ((0, rpad - rows), (0, 0)), constant_values=-1)
+    n_blocks = rpad // rb
+
+    partials = pl.pallas_call(
+        _make_kernel(n_bins, cols),
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec((rb, cols), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((8, _LANES), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * 8, _LANES), jnp.float32),
+    )(idx)
+    return jnp.sum(partials, axis=0)[:n_bins].astype(jnp.int32)

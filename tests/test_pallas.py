@@ -318,6 +318,41 @@ def test_hardware_fused_descriptor_paths_match():
     np.testing.assert_allclose(tp_f, tp_u, atol=5e-6)
 
 
+@pytest.mark.skipif(
+    os.environ.get("BLISS_TEST_TPU") != "1",
+    reason="hardware kernel test needs BLISS_TEST_TPU=1 (real TPU)",
+)
+def test_hardware_histogram_kernel_exact():
+    """Pallas VMEM histogram == exact per-bin counts (incl. sentinel and
+    out-of-range values), on chip."""
+    from bliss_tpu.ops.pallas_hist import histogram_int_plane
+
+    rng = np.random.default_rng(12)
+    for shape in [(1430, 3360), (7, 100), (1, 3360), (2049, 257)]:
+        idx = rng.integers(-2, 105, size=shape).astype(np.int32)
+        got = np.asarray(histogram_int_plane(jnp.asarray(idx), 100))
+        want = np.array([(idx == b).sum() for b in range(100)], np.int32)
+        np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.skipif(
+    os.environ.get("BLISS_TEST_TPU") != "1",
+    reason="hardware kernel test needs BLISS_TEST_TPU=1 (real TPU)",
+)
+def test_hardware_dft_autocorr_matches_toeplitz():
+    """Wiener–Khinchin matmul autocorr vs the exact Toeplitz path."""
+    import jax
+
+    from bliss_tpu.models.tempo import _autocorr, _autocorr_batch_dft
+
+    rng = np.random.default_rng(13)
+    df = jnp.asarray((rng.normal(size=(37, 512)) ** 2).astype(np.float32))
+    ref = np.asarray(jax.vmap(_autocorr)(df))
+    got = np.asarray(_autocorr_batch_dft(df))
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 5e-5, rel
+
+
 def test_silence_flags_blocked_parity():
     from bliss_tpu.models.tempo import (
         HOP_SIZE,
