@@ -184,16 +184,219 @@ def _make_timbral_kernel(window: int, width: int, fblock: int, nb: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("window", "hop", "n_frames"))
+def _rev7(x: int) -> int:
+    b = 0
+    for _ in range(7):
+        b = (b << 1) | (x & 1)
+        x >>= 1
+    return b
+
+
+def _make_timbral_fft_kernel(window: int, width: int, fblock: int):
+    """Timbral descriptors from an FFT-STRUCTURED spectrum.
+
+    Why not the matmul-DFT: the reference pipeline's magnitudes come
+    from an f32 FFT (aubio hanningz + f32 FFT, src/utils.rs:26-64 /
+    src/aubio.rs:237-261), whose per-stage f32 roundings bias the
+    flatness of real-world quiet material by ~1e-4 relative to exact
+    arithmetic. A near-exact transform (matmul-DFT at HIGHEST, measured
+    1.7e-7 of f64) therefore sits ~1.1e-4 from the reference value —
+    OVER the ≤1e-4 corpus contract — while any true radix-2 f32 FFT
+    lands ~2e-5 from it (same rounding statistics; measured for XLA's
+    FFT, numpy's pocketfft and this kernel's exact arithmetic,
+    tmp/probe_difroll.py → PERF r4).
+
+    Structure (W=512): radix-4 across the 4 hop-width chunks (exact
+    adds/subs), per-plane twiddle, then a 7-stage DIF radix-2 over the
+    128 lanes via paired `pltpu.roll`s — output bins arrive in
+    bit-reversed lane order, which only permutes CONSTANTS: per-plane
+    bin masks/weights bake the buggy-256 layout, and the rolloff's
+    ordered cumulative energy is recovered with one permuted-triangular
+    [128,128] matmul + running per-plane adds. Emits the same
+    `[F, 5]` raw rows as `_make_timbral_kernel`.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert window == 512 and width == 128, (window, width)
+    rev = [_rev7(i) for i in range(128)]
+
+    def kernel(slab_ref, consts_ref, pt_ref, win_ref, out_ref):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+
+        w = []
+        for c in range(4):
+            rows = slab_ref[0, c : c + fblock, :]
+            w.append(rows * win_ref[0:1, c * width : (c + 1) * width])
+        # radix-4 across chunks: plane q holds A_q = sum_c w_c W_4^{cq}
+        planes = [
+            (w[0] + w[1] + w[2] + w[3], None),
+            (w[0] - w[2], -(w[1] - w[3])),
+            (w[0] - w[1] + w[2] - w[3], None),
+            (w[0] - w[2], (w[1] - w[3])),
+        ]
+
+        mags = []
+        for q in range(4):
+            are, aim = planes[q]
+            # plane twiddle W_512^{n1 q} (consts rows 0..7: tc/ts per q)
+            tc = consts_ref[2 * q : 2 * q + 1, :]
+            ts = consts_ref[2 * q + 1 : 2 * q + 2, :]
+            if aim is None:
+                re = are * tc
+                im = are * ts
+            else:
+                re = are * tc - aim * ts
+                im = aim * tc + are * ts
+            # 7-stage DIF radix-2 over lanes (rows 8..21: wc/ws per stage)
+            for s, m in enumerate((128, 64, 32, 16, 8, 4, 2)):
+                hm = m // 2
+                topm = (lane % m) < hm
+                wc = consts_ref[8 + 2 * s : 9 + 2 * s, :]
+                ws = consts_ref[9 + 2 * s : 10 + 2 * s, :]
+                pre = jnp.where(
+                    topm,
+                    pltpu.roll(re, shift=128 - hm, axis=1),
+                    pltpu.roll(re, shift=hm, axis=1),
+                )
+                pim = jnp.where(
+                    topm,
+                    pltpu.roll(im, shift=128 - hm, axis=1),
+                    pltpu.roll(im, shift=hm, axis=1),
+                )
+                sre, sim = re + pre, im + pim
+                dre, dim = pre - re, pim - im
+                re = jnp.where(topm, sre, dre * wc - dim * ws)
+                im = jnp.where(topm, sim, dre * ws + dim * wc)
+            mags.append(jnp.sqrt(re * re + im * im))
+
+        # descriptor reductions with bit-rev-aware constants
+        # (consts rows 22..29: mask_q, weight_q interleaved)
+        total = jnp.zeros((fblock,), jnp.float32)
+        weighted = jnp.zeros((fblock,), jnp.float32)
+        logsum = jnp.zeros((fblock,), jnp.float32)
+        energy = jnp.zeros((fblock,), jnp.float32)
+        sqs = []
+        for q in range(4):
+            mask = consts_ref[22 + 2 * q : 23 + 2 * q, :]
+            wgt = consts_ref[23 + 2 * q : 24 + 2 * q, :]
+            mq = mags[q]
+            total = total + jnp.sum(mq * mask, axis=1)
+            weighted = weighted + jnp.sum(mq * wgt, axis=1)
+            logsum = logsum + jnp.sum(
+                jnp.where(mask > 0, jnp.log2(mq), 0.0), axis=1
+            )
+            sq = mq * mq * mask
+            sqs.append(sq)
+            energy = energy + jnp.sum(sq, axis=1)
+
+        s_all = sqs[0] + sqs[1] + sqs[2] + sqs[3]
+        dn = (((1,), (0,)), ((), ()))
+        e_excl = jax.lax.dot_general(
+            s_all, pt_ref[:, :], dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        target = energy * jnp.float32(0.95)
+        below = jnp.zeros((fblock,), jnp.float32)
+        run = e_excl
+        for q in range(4):
+            mask = consts_ref[22 + 2 * q : 23 + 2 * q, :]
+            run = run + sqs[q]
+            below = below + jnp.sum(
+                jnp.where(
+                    mask > 0,
+                    (run < target[:, None]).astype(jnp.float32),
+                    0.0,
+                ),
+                axis=1,
+            )
+
+        out_lane = jax.lax.broadcasted_iota(jnp.int32, (fblock, 128), 1)
+        out_ref[:, :] = jnp.where(
+            out_lane == 0,
+            total[:, None],
+            jnp.where(
+                out_lane == 1,
+                weighted[:, None],
+                jnp.where(
+                    out_lane == 2,
+                    below[:, None],
+                    jnp.where(
+                        out_lane == 3,
+                        logsum[:, None],
+                        jnp.where(out_lane == 4, energy[:, None], 0.0),
+                    ),
+                ),
+            ),
+        )
+
+    return kernel
+
+
+def _timbral_fft_consts():
+    """[32, 128] constant rows + the [128,128] permuted-triangular
+    prefix matrix for `_make_timbral_fft_kernel` (f32, host-exact)."""
+    import numpy as np
+
+    rev = np.array([_rev7(i) for i in range(128)], np.int32)
+    rows = np.zeros((32, 128), np.float32)
+    n1 = np.arange(128)
+    for q in range(4):
+        th = (n1 * q) % 512 * (2.0 * np.pi / 512.0)
+        rows[2 * q] = np.cos(th)
+        rows[2 * q + 1] = -np.sin(th)
+    for s, m in enumerate((128, 64, 32, 16, 8, 4, 2)):
+        hm = m // 2
+        j = np.maximum(n1 % m - hm, 0)
+        rows[8 + 2 * s] = np.cos(j * 2.0 * np.pi / m)
+        rows[9 + 2 * s] = -np.sin(j * 2.0 * np.pi / m)
+    for q in range(4):
+        b = q + 4 * rev  # bin id at lane L
+        keep = (b <= 254) | (b == 256)
+        rows[22 + 2 * q] = keep.astype(np.float32)
+        rows[23 + 2 * q] = np.where(
+            keep, np.where(b == 256, 255, b), 0
+        ).astype(np.float32)
+    pt = (rev[:, None] < rev[None, :]).astype(np.float32)
+    return rows, pt
+
+
+def _timbral_fft() -> bool:
+    """FFT-structured timbral kernel (the accuracy-contract default for
+    512/128 — see `_make_timbral_fft_kernel`). BLISS_TIMBRAL_FFT=0
+    reverts to the flat matmul-DFT kernel."""
+    import os
+
+    return os.environ.get("BLISS_TIMBRAL_FFT", "1") != "0"
+
+
 def pallas_frame_dft_timbral(
     signal: jnp.ndarray, window: int, hop: int, n_frames: int
 ) -> jnp.ndarray:
-    """Fused slab DFT + buggy-256 spectral descriptor reductions.
+    """Fused slab framing + spectral descriptor reductions.
 
     Returns `[n_frames, 5]` f32 rows `(total, weighted, below, logsum,
-    energy)` — see `_make_timbral_kernel`. Frame f covers
+    energy)` over the buggy-256 layout. Frame f covers
     `signal[f*hop : f*hop + window]` (caller prepends offset padding).
+    The spectrum comes from the FFT-structured kernel by default
+    (matching the reference's f32-FFT noise statistics — the corpus
+    flatness contract); `BLISS_TIMBRAL_FFT=0` selects the flat
+    matmul-DFT kernel.
     """
+    use_fft = _timbral_fft() and window == 512 and hop == 128
+    return _pallas_frame_dft_timbral_impl(
+        signal, window, hop, n_frames, use_fft
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window", "hop", "n_frames", "use_fft")
+)
+def _pallas_frame_dft_timbral_impl(
+    signal: jnp.ndarray, window: int, hop: int, n_frames: int, use_fft: bool
+) -> jnp.ndarray:
+    import numpy as np
+
     from .windows import hann_periodic
 
     assert supported(window, hop), (window, hop)
@@ -204,15 +407,6 @@ def pallas_frame_dft_timbral(
     half = window // 2
     assert half % _LANES == 0, window  # buggy layout is lane-exact
     nb_pad = half
-
-    # twiddles directly in the buggy overflow layout: column half-1
-    # carries bin `half` (the Nyquist) — see _make_timbral_kernel
-    n = jax.lax.broadcasted_iota(jnp.int32, (window, nb_pad), 0)
-    k = jax.lax.broadcasted_iota(jnp.int32, (window, nb_pad), 1)
-    k = jnp.where(k == half - 1, half, k)
-    theta = ((n * k) % window).astype(jnp.float32) * (2.0 * math.pi / window)
-    cos_m = jnp.cos(theta)
-    sin_m = -jnp.sin(theta)
 
     need = (nf_pad + chunks - 1) * width
     t = signal.shape[-1]
@@ -226,6 +420,36 @@ def pallas_frame_dft_timbral(
             sig2d, (i * fblock, jnp.int32(0)), (slab_rows, width)
         )
     )(jnp.arange(n_blocks, dtype=jnp.int32))
+
+    if use_fft:
+        rows, pt = _timbral_fft_consts()
+        out = pl.pallas_call(
+            _make_timbral_fft_kernel(window, width, fblock),
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((1, slab_rows, width), lambda f: (f, 0, 0)),
+                pl.BlockSpec((32, 128), lambda f: (0, 0)),
+                pl.BlockSpec((128, 128), lambda f: (0, 0)),
+                pl.BlockSpec((1, window), lambda f: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((fblock, 128), lambda f: (f, 0)),
+            out_shape=jax.ShapeDtypeStruct((nf_pad, 128), jnp.float32),
+        )(
+            slabs,
+            jnp.asarray(rows),
+            jnp.asarray(pt),
+            hann_periodic(window).reshape(1, window),
+        )
+        return out[:n_frames, :5]
+
+    # twiddles directly in the buggy overflow layout: column half-1
+    # carries bin `half` (the Nyquist) — see _make_timbral_kernel
+    n = jax.lax.broadcasted_iota(jnp.int32, (window, nb_pad), 0)
+    k = jax.lax.broadcasted_iota(jnp.int32, (window, nb_pad), 1)
+    k = jnp.where(k == half - 1, half, k)
+    theta = ((n * k) % window).astype(jnp.float32) * (2.0 * math.pi / window)
+    cos_m = jnp.cos(theta)
+    sin_m = -jnp.sin(theta)
 
     out = pl.pallas_call(
         _make_timbral_kernel(window, width, fblock, nb_pad),

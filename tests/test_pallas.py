@@ -314,7 +314,11 @@ def test_hardware_fused_descriptor_paths_match():
     finally:
         _os.environ.pop("BLISS_TIMBRAL_FUSED")
         _os.environ.pop("BLISS_TEMPO_FUSED")
-    np.testing.assert_allclose(tb_f, tb_u, atol=5e-6)
+    # the fused kernel's FFT-structured spectrum vs the unfused
+    # matmul-DFT legitimately differ at the f32-rounding-noise level
+    # (~1e-5 feature scale, deliberate — the flatness contract needs the
+    # reference's f32-FFT noise class; see _make_timbral_fft_kernel)
+    np.testing.assert_allclose(tb_f, tb_u, atol=5e-5)
     np.testing.assert_allclose(tp_f, tp_u, atol=5e-6)
 
 
