@@ -6,7 +6,11 @@ library (~9.5 GB of WAV on disk) and asserts the production properties
 that only show at scale:
 
   * memory stays bounded (the decode pool + upload backpressure hold:
-    peak RSS is sampled every 5 s and asserted under --rss-cap)
+    peak RSS over the whole process tree is sampled every 5 s and
+    asserted under --rss-cap; with --recycle N the raw cap must hold —
+    worker recycling bounds the tunneled transport's per-upload-byte
+    retention (PERF.md §44) — while in-process runs get exactly that
+    measured retention as an allowance on top of the cap)
   * every input lands in the song table or the failed-song ledger
     (including deliberately corrupt/short/missing inputs)
   * the transient-wedge retry fires when injected (--inject-wedge wraps
@@ -123,11 +127,18 @@ def _open_library(fresh: bool = False):
 
 
 def _rss_mb() -> float:
-    with open("/proc/self/status") as f:
-        for line in f:
-            if line.startswith("VmRSS"):
-                return float(line.split()[1]) / 1024.0
-    return 0.0
+    """RSS of this process plus all live descendants (the recycled
+    driver runs analysis in worker subprocesses)."""
+    import psutil
+
+    p = psutil.Process()
+    total = p.memory_info().rss
+    for c in p.children(recursive=True):
+        try:
+            total += c.memory_info().rss
+        except psutil.NoSuchProcess:
+            pass
+    return total / (1024.0 * 1024.0)
 
 
 class _RssSampler(threading.Thread):
@@ -210,13 +221,21 @@ def phase_run(args):
 
     lib = _open_library(fresh=not args.resume)
     wedge_state = None
-    if args.inject_wedge:
+    if args.inject_wedge and not args.recycle:
+        # the wedge patches this process' driver; in recycled mode the
+        # analysis runs in child processes, so the injection is
+        # exercised by the in-process run instead
         wedge_state = _install_wedge_injection()
 
     sampler = _RssSampler()
     sampler.start()
     t0 = time.time()
-    lib.update_library(all_paths, False, True)
+    if args.recycle:
+        lib.update_library_recycled(
+            all_paths, False, True, segment_songs=args.recycle
+        )
+    else:
+        lib.update_library(all_paths, False, True)
     elapsed = time.time() - t0
     sampler.stop()
 
@@ -241,8 +260,30 @@ def phase_run(args):
     assert not (set(paths) & failed), sorted(set(paths) & failed)[:4]
     if wedge_state is not None:
         assert wedge_state["injected"] == 2, wedge_state
-    assert sampler.peak < args.rss_cap_mb, (
+    # The tunneled dev PJRT transport retains one host copy of every
+    # byte ever uploaded for the client's lifetime (measured with bare
+    # device_put probes, independent of this driver: RSS grows by the
+    # wire bytes and survives Array.delete(); PERF.md §44). In-process
+    # runs get exactly that allowance — the assert still catches OUR
+    # driver growing (decode-ahead, upload queues, staging). Recycled
+    # runs (--recycle) must hold the raw cap: worker recycling is the
+    # production answer on such transports.
+    allowance = 0.0
+    if not args.recycle:
+        from bliss_tpu.io.batch import bucket_length
+
+        durs = [
+            r[0]
+            for r in conn.execute(
+                "select duration from song where analyzed = true"
+            )
+        ]
+        allowance = (
+            sum(bucket_length(int(d * 22050)) for d in durs) * 3.008 / 1e6
+        )
+    assert sampler.peak < args.rss_cap_mb + allowance, (
         f"peak RSS {sampler.peak:.0f} MB over the {args.rss_cap_mb} MB cap"
+        f" (+{allowance:.0f} MB transport-leak allowance)"
     )
 
     out = {
@@ -253,7 +294,9 @@ def phase_run(args):
         "analyzed": n_ok,
         "failed": len(failed),
         "peak_rss_mb": round(sampler.peak, 1),
-        "wedge_injected": bool(args.inject_wedge),
+        "wedge_injected": wedge_state is not None,
+        "recycle_segment_songs": args.recycle,
+        "transport_leak_allowance_mb": round(allowance, 1),
     }
     print(json.dumps(out), flush=True)
 
@@ -341,6 +384,11 @@ def main():
     ap.add_argument("--n", type=int, default=1000)
     ap.add_argument("--inject-wedge", action="store_true")
     ap.add_argument("--rss-cap-mb", type=float, default=8192.0)
+    ap.add_argument("--recycle", type=int, default=0, metavar="N",
+                    help="run the analysis through "
+                    "Library.update_library_recycled with N-song worker "
+                    "segments (bounds RSS on PJRT transports that retain "
+                    "uploaded bytes; PERF.md §44)")
     ap.add_argument("--resume", action="store_true",
                     help="keep the existing soak DB (used by kill-resume)")
     args = ap.parse_args()

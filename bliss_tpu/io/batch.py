@@ -328,6 +328,30 @@ UPLOAD_THREADS = 2
 MAX_PENDING_UPLOAD_BYTES = 512 << 20
 
 
+def _upload_committed(fut) -> bool:
+    """True once an upload future's bytes have actually left host RAM
+    (every device handle reports is_ready), not merely been issued.
+    Errors count as committed — they surface at dispatch."""
+    if not fut.done():
+        return False
+    try:
+        handles = fut.result()
+    except Exception:
+        return True
+    return all(getattr(h, "is_ready", lambda: True)() for h in handles)
+
+
+def _block_on_upload(fut) -> None:
+    """Wait until one upload's transfers are committed to the device."""
+    import jax
+
+    try:
+        handles = fut.result()
+    except Exception:
+        return
+    jax.block_until_ready(handles)
+
+
 @dataclass
 class _Decoded:
     order: int
@@ -574,15 +598,26 @@ def analyze_paths_batched(
                 futures.add(pool.submit(decode_one, item))
 
         def submit_upload(d: _Decoded, device):
-            # bound decoded-but-unsent bytes: block on the oldest transfer
+            # bound decoded-but-unsent bytes: block on the oldest transfer.
+            # "done" must mean the bytes actually LEFT host RAM —
+            # device_put is async and the future resolves the moment the
+            # transfer is *issued*, while the staged wire bytes live in
+            # the PJRT client until the (slow, ~MB/s tunnel) send
+            # completes. Track is_ready(), not future resolution: with
+            # fast decode (WAV) the old accounting let an entire
+            # library's wire bytes pile up in RSS (13.6 GB on the 1k
+            # soak); commitment-tracking holds the cap for real.
             pending_uploads[:] = [
-                (f, nb) for f, nb in pending_uploads if not f.done()
+                (f, nb)
+                for f, nb in pending_uploads
+                if not _upload_committed(f)
             ]
             while (
                 sum(nb for _, nb in pending_uploads)
                 > MAX_PENDING_UPLOAD_BYTES
             ):
-                pending_uploads.pop(0)[0].result()
+                f, _ = pending_uploads.pop(0)
+                _block_on_upload(f)
             d.upload = uploader.submit(upload_one, d, device)
             pending_uploads.append((d.upload, 4 * d.n))
 

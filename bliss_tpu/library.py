@@ -835,6 +835,150 @@ class Library:
             to_analyze, show_progress_bar, convert_extra_info, analysis_options
         )
 
+    def update_library_recycled(
+        self,
+        paths,
+        delete_everything_else: bool = False,
+        show_progress_bar: bool = False,
+        segment_songs: int = 256,
+        child_timeout_s: Optional[float] = None,
+    ) -> None:
+        """Bounded-RSS incremental update: same contract as
+        `update_library`, but the analysis runs in sequential worker
+        subprocesses of ``segment_songs`` each, recycling the process
+        between segments.
+
+        Why this exists (measured, PERF.md §44): some PJRT transports
+        retain one host copy of every byte ever uploaded for the
+        lifetime of the client — on the tunneled dev backend RSS grows
+        by exactly the wire bytes and survives `Array.delete()` and
+        backend teardown — so a single-process ingest of a large
+        library grows host RSS without bound no matter how the driver
+        bounds its own staging. Recycling caps peak RSS at ~(base +
+        one segment's wire bytes) at the cost of one warm-cache process
+        start per segment (~10-30 s through the tunnel). On healthy
+        PCIe-attached backends `update_library` in-process is the fast
+        path and this is unnecessary.
+
+        The parent does the SQLite set-difference and deletions and
+        never touches the accelerator (the exclusive one-process device
+        rule holds: each child claims the device in turn). A segment
+        whose worker dies or wedges past ``child_timeout_s`` (default
+        ``max(900, 10*segment_songs)`` s) is retried once on a fresh
+        process — its own set-difference makes the retry analyze only
+        what the first attempt didn't land.
+
+        Reference analog: the update loop src/library.rs:1000-1093
+        (single-process; the reference never uploads, so never meets
+        this constraint).
+        """
+        import subprocess
+        import sys
+        import tempfile
+
+        analysis_options = self.config.analysis_options
+        with self._lock:
+            existing = {
+                pathlib.Path(r[0])
+                for r in self.sqlite_conn.execute(
+                    "select path from song where analyzed = true and "
+                    "version = ? order by id",
+                    (int(analysis_options.features_version),),
+                )
+            }
+        paths = [pathlib.Path(p) for p in paths]
+        pset = set(paths)
+
+        if delete_everything_else:
+            with self._lock:
+                all_existing = {
+                    pathlib.Path(r[0])
+                    for r in self.sqlite_conn.execute(
+                        "select path from song where analyzed = true "
+                        "order by id"
+                    )
+                }
+            self.delete_paths(all_existing - pset)
+
+        to_analyze = [p for p in paths if p not in existing]
+        if not to_analyze:
+            return
+        with self._lock:
+            self.sqlite_conn.execute(
+                "delete from song where version != ?",
+                (int(analysis_options.features_version),),
+            )
+            self.sqlite_conn.commit()
+        self._invalidate_matrix_cache()
+
+        if not self.config.config_path.exists():
+            self.config.write()
+        env = dict(os.environ)
+        pkg_parent = str(pathlib.Path(__file__).resolve().parents[1])
+        pp = env.get("PYTHONPATH", "")
+        if pkg_parent not in pp.split(os.pathsep):
+            # append, never overwrite: the existing entries may carry
+            # the site hook that registers the accelerator backend
+            env["PYTHONPATH"] = (pp + os.pathsep if pp else "") + pkg_parent
+        decoder_spec = (
+            f"{self.decoder_cls.__module__}:{self.decoder_cls.__qualname__}"
+        )
+        timeout = child_timeout_s or max(900.0, 10.0 * segment_songs)
+
+        segments = [
+            to_analyze[i : i + segment_songs]
+            for i in range(0, len(to_analyze), segment_songs)
+        ]
+        logger.info(
+            "Analyzing %d song(s) in %d recycled segment(s) of <=%d",
+            len(to_analyze),
+            len(segments),
+            segment_songs,
+        )
+        for idx, seg in enumerate(segments):
+            fd, list_path = tempfile.mkstemp(suffix=".paths", text=True)
+            with os.fdopen(fd, "w") as f:
+                f.write("\n".join(str(p) for p in seg))
+            cmd = [
+                sys.executable,
+                "-m",
+                "bliss_tpu.io.ingest_worker",
+                str(self.config.config_path),
+                list_path,
+                "--decoder",
+                decoder_spec,
+            ]
+            if show_progress_bar:
+                cmd.append("--progress")
+            try:
+                rc = None
+                for attempt in (1, 2):
+                    try:
+                        rc = subprocess.run(
+                            cmd, env=env, timeout=timeout
+                        ).returncode
+                    except subprocess.TimeoutExpired:
+                        rc = "timeout"
+                    if rc == 0:
+                        break
+                    logger.warning(
+                        "ingest worker segment %d/%d attempt %d failed "
+                        "(rc=%s)%s",
+                        idx + 1,
+                        len(segments),
+                        attempt,
+                        rc,
+                        "" if attempt == 2 else "; retrying on a fresh process",
+                    )
+                if rc != 0:
+                    raise ProviderError(
+                        f"ingest worker for segment {idx + 1}/"
+                        f"{len(segments)} failed twice (rc={rc})"
+                    )
+            finally:
+                os.unlink(list_path)
+        self._invalidate_matrix_cache()
+
     # --- queries -------------------------------------------------------------
 
     def _songs_from_statement(
