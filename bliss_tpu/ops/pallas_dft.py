@@ -235,8 +235,9 @@ def _make_timbral_fft_kernel(window: int, width: int, fblock: int):
             (w[0] - w[2], (w[1] - w[3])),
         ]
 
+        dn = (((1,), (0,)), ((), ()))
         mags = []
-        for q in range(4):
+        for q in range(3):
             are, aim = planes[q]
             # plane twiddle W_512^{n1 q} (consts rows 0..7: tc/ts per q)
             tc = consts_ref[2 * q : 2 * q + 1, :]
@@ -269,6 +270,25 @@ def _make_timbral_fft_kernel(window: int, width: int, fblock: int):
                 im = jnp.where(topm, sim, dre * ws + dim * wc)
             mags.append(jnp.sqrt(re * re + im * im))
 
+        # plane 3 is the rfft mirror of plane 1: for a real frame
+        # |X[3+4·rev(L)]| = |X[512−(3+4·rev(L))]| = |X[1+4·rev(127−L)]|
+        # (complement commutes with bit reversal), i.e. mags3 is mags1
+        # lane-REVERSED. One 0/1 permutation matmul (HIGHEST f32 dots
+        # reconstruct f32 exactly from the bf16 splits) replaces the
+        # whole plane-3 twiddle + 7-stage ladder; the mirrored values
+        # carry plane 1's genuine per-stage f32-FFT roundings, staying
+        # in the reference's noise class (see docstring).
+        ri = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 0)
+        rj = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 1)
+        rmat = (ri + rj == _LANES - 1).astype(jnp.float32)
+        mags.append(
+            jax.lax.dot_general(
+                mags[1], rmat, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        )
+
         # descriptor reductions with bit-rev-aware constants
         # (consts rows 22..29: mask_q, weight_q interleaved)
         total = jnp.zeros((fblock,), jnp.float32)
@@ -290,7 +310,6 @@ def _make_timbral_fft_kernel(window: int, width: int, fblock: int):
             energy = energy + jnp.sum(sq, axis=1)
 
         s_all = sqs[0] + sqs[1] + sqs[2] + sqs[3]
-        dn = (((1,), (0,)), ((), ()))
         e_excl = jax.lax.dot_general(
             s_all, pt_ref[:, :], dimension_numbers=dn,
             preferred_element_type=jnp.float32,
