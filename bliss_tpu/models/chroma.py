@@ -257,6 +257,137 @@ def pitch_tuning(
     return jnp.where(any_sel, tuning, jnp.asarray(0.0, dtype))
 
 
+def _tuning_fused_enabled() -> bool:
+    return os.environ.get("BLISS_TUNING_FUSED", "1") != "0"
+
+
+def _fused_plane_bytes(spec_shape, n_fft: int) -> int:
+    """Tile-padded i16 plane footprint of the fused estimator's bisect
+    (a single ungridded VMEM block — gate long songs back to the radix
+    path, same rationale as reductions._radix_plane_bytes)."""
+    beginning, end = _pitch_band(n_fft)
+    rows = end - beginning - 3
+    cols = spec_shape[-1]
+    return (-(-rows // 32) * 32) * (-(-cols // 128) * 128) * 2
+
+
+def _estimate_tuning_fused(
+    spectrum: jnp.ndarray,
+    frame_mask: jnp.ndarray,
+    n_fft: int,
+    resolution: float = 0.01,
+    bins_per_octave: int = 12,
+    interpret: bool = False,
+):
+    """One-sweep-per-stage tuning estimator (TPU production path).
+
+    Same estimate → threshold → histogram semantics as the unfused
+    path (src/chroma.rs:334-391) with identical order statistics and
+    integer counts — but instead of materializing pitches/mags/mask and
+    re-sweeping them through the radix select (4 int8 levels × 2 ranks)
+    and the histogram, it materializes exactly three planes in one
+    stencil sweep — the i32 signed-shifted sort keys of the peak
+    magnitudes, the int8 tuning-bin index, and the u16 key top half —
+    then selects the median pair with TWO paired 16-bit bisects
+    (`ops/pallas_select.bisect16_pair`; both ranks share each count
+    pass) and counts the final histogram gated by the threshold IN KEY
+    SPACE in one fused read (`ops/pallas_hist.histogram_threshold_plane`).
+    ~3x less HBM traffic than the unfused chain; bit-identical tuning.
+    """
+    from ..ops.pallas_hist import histogram_threshold_plane
+    from ..ops.pallas_select import bisect16_pair
+    from ..ops.reductions import _float_sort_key, _key_to_float
+
+    dtype = spectrum.dtype
+    n_bins = int(round(1.0 / resolution))
+    bias = jnp.uint32(0x80000000)
+
+    # ---- pass A: pip_track stencil -> (skey, idx8, key-hi16) planes
+    beginning, end = _pitch_band(n_fft)
+    ref_value = 0.1 * jnp.max(spectrum, axis=0)
+    before = spectrum[beginning : end - 3]
+    elem = spectrum[beginning + 1 : end - 2]
+    after = spectrum[beginning + 2 : end - 1]
+    is_peak = (elem > ref_value[None, :]) & (after <= elem) & (before < elem)
+    avg = 0.5 * (after - before)
+    shift_den = 2.0 * elem - after - before
+    shift_den = jnp.where(
+        jnp.abs(shift_den) < jnp.finfo(dtype).tiny, shift_den + 1.0, shift_den
+    )
+    shift = avg / shift_den
+    rows = jnp.arange(elem.shape[0], dtype=dtype)[:, None] + (beginning + 1)
+    pitches = (rows + shift) * (SAMPLE_RATE / n_fft)
+    mags = elem + 0.5 * avg * shift
+    pos = is_peak & frame_mask[None, :] & (pitches > 0.0)
+
+    keys = jnp.where(pos, _float_sort_key(mags), ~jnp.uint32(0))
+    octs = hz_to_octs(
+        jnp.maximum(pitches, jnp.finfo(dtype).tiny), 0.0, bins_per_octave
+    )
+    v = jnp.mod(bins_per_octave * octs, 1.0)
+    v = jnp.where(v >= 0.5, v - 1.0, v)
+    idxf = (v - (-0.5)) / resolution
+    idx = jnp.clip(idxf.astype(jnp.int32), 0, n_bins - 1)
+    idx8 = jnp.where(pos, idx, n_bins + 1).astype(jnp.int8)
+    skey = jax.lax.bitcast_convert_type(keys ^ bias, jnp.int32)
+    plane_hi = (
+        (keys >> jnp.uint32(16)).astype(jnp.int32) - 32768
+    ).astype(jnp.int16)
+    n = jnp.sum(pos.astype(jnp.int32))
+    skey, idx8, plane_hi, n = jax.lax.optimization_barrier(
+        (skey, idx8, plane_hi, n)
+    )
+
+    # midpoint ranks — formula identical to masked_quantile_midpoint
+    posk = (n - 1).astype(jnp.float32) * 0.5
+    kf = jnp.maximum(jnp.floor(posk).astype(jnp.int32), 0)
+    kc = jnp.maximum(jnp.ceil(posk).astype(jnp.int32), 0)
+
+    # ---- level 1: each rank's key top-16 bucket
+    o1 = bisect16_pair(
+        plane_hi, jnp.stack([kf, kc]).reshape(1, 2), interpret=interpret
+    )
+    b_f, b_c = o1[0, 0], o1[0, 1]
+    rem = jnp.maximum(
+        jnp.stack([kf - o1[0, 2], kc - o1[0, 3]]), 0
+    ).reshape(1, 2)
+
+    # ---- level 2: low 16 bits within rank-f's bucket. When the ranks
+    # straddle a bucket boundary the ceil rank is by construction the
+    # MINIMUM of its bucket (every element of lower buckets ranks below
+    # it), which is a plain fused reduction — no second bisect plane.
+    ukeys = jax.lax.bitcast_convert_type(skey, jnp.uint32) ^ bias
+    hi16 = (ukeys >> jnp.uint32(16)).astype(jnp.int32)
+    lo16 = (ukeys & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    plane_lo = (jnp.where(hi16 == b_f, lo16, 0xFFFF) - 32768).astype(
+        jnp.int16
+    )
+    min_c = jnp.min(jnp.where(hi16 == b_c, lo16, 0xFFFF))
+    plane_lo, min_c = jax.lax.optimization_barrier((plane_lo, min_c))
+    o2 = bisect16_pair(plane_lo, rem, interpret=interpret)
+    same = b_f == b_c
+    v_lo_f = o2[0, 0]
+    v_lo_c = jnp.where(same, o2[0, 1], min_c)
+    key_f = (b_f.astype(jnp.uint32) << 16) | v_lo_f.astype(jnp.uint32)
+    key_c = (b_c.astype(jnp.uint32) << 16) | v_lo_c.astype(jnp.uint32)
+    t = (_key_to_float(key_f, dtype) + _key_to_float(key_c, dtype)) * (
+        jnp.asarray(0.5, dtype)
+    )
+
+    # ---- pass D: histogram gated by `mags >= t` in key space. Keys are
+    # order-isomorphic except -0.0 < +0.0; when t == 0.0 use -0.0's key
+    # so float `>=` semantics are preserved exactly.
+    tk_s = jax.lax.bitcast_convert_type(_float_sort_key(t) ^ bias, jnp.int32)
+    tk_s = jnp.where(t == 0.0, jnp.int32(-1), tk_s)
+    counts = histogram_threshold_plane(
+        idx8, skey, tk_s.reshape(1, 1), n_bins, interpret=interpret
+    )
+    any_sel = jnp.sum(counts) > 0
+    max_index = jnp.argmax(counts)
+    tuning = (-50.0 + (100.0 * resolution * max_index.astype(dtype))) / 100.0
+    return jnp.where(any_sel, tuning, jnp.asarray(0.0, dtype))
+
+
 def estimate_tuning(
     spectrum: jnp.ndarray,
     frame_mask: jnp.ndarray,
@@ -267,6 +398,15 @@ def estimate_tuning(
     """Tuning offset in [-0.5, 0.5) from a magnitude spectrogram
     (src/chroma.rs:361-391 + pitch_tuning :334-359)."""
     dtype = spectrum.dtype
+    if (
+        jax.default_backend() == "tpu"
+        and _tuning_fused_enabled()
+        and dtype == jnp.float32
+        and _fused_plane_bytes(spectrum.shape, n_fft) <= 12 << 20
+    ):
+        return _estimate_tuning_fused(
+            spectrum, frame_mask, n_fft, resolution, bins_per_octave
+        )
     pitches, mags, peak_mask = pip_track(spectrum, frame_mask, n_fft)
     # NO ravel: flattening the [n_band_rows, n_frames] tiles (minor dim
     # not lane-aligned) costs a full TPU re-tiling relayout per array;

@@ -21,6 +21,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
 _ROW_BLOCK = 256
@@ -71,4 +72,68 @@ def histogram_int_plane(idx: jnp.ndarray, n_bins: int) -> jnp.ndarray:
         out_specs=pl.BlockSpec((8, _LANES), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((n_blocks * 8, _LANES), jnp.float32),
     )(idx)
+    return jnp.sum(partials, axis=0)[:n_bins].astype(jnp.int32)
+
+
+def _make_threshold_kernel(n_bins: int):
+    def kernel(tk_ref, idx_ref, key_ref, out_ref):
+        # int8 bins widen to f32 (the supported dequantize pattern;
+        # 0..127 exact); the key gate is a native i32 compare
+        idx = idx_ref[:, :].astype(jnp.float32)
+        ge = (key_ref[:, :] >= tk_ref[0, 0]).astype(jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+        row = jnp.zeros((1, _LANES), jnp.float32)
+        for b in range(n_bins):
+            cnt = jnp.sum(jnp.where(idx == float(b), ge, 0.0))
+            row = row + jnp.where(lane == b, cnt, 0.0)
+        out_ref[:, :] = jnp.broadcast_to(row, (8, _LANES)) * jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 0) == 0,
+            1.0,
+            0.0,
+        )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_bins", "interpret"))
+def histogram_threshold_plane(
+    idx8: jnp.ndarray,
+    skey: jnp.ndarray,
+    tk: jnp.ndarray,
+    n_bins: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Counts of `(idx8 == b) & (skey >= tk)` for b in [0, n_bins).
+
+    The fused tuning estimator's final pass (models/chroma.py): `idx8`
+    is the int8 tuning-bin plane (sentinel >= n_bins for non-peaks),
+    `skey` the signed-shifted f32 sort keys (order-isomorphic i32), and
+    `tk` the `[1, 1]` i32 threshold key of the median magnitude — one
+    read of both planes replaces a select + separate histogram. Returns
+    `[n_bins]` int32 exact counts.
+    """
+    assert n_bins <= _LANES, n_bins
+    assert idx8.shape == skey.shape and idx8.ndim == 2
+    rows, cols = idx8.shape
+    rb = min(_ROW_BLOCK, -(-rows // 8) * 8)
+    rpad = -(-rows // rb) * rb
+    if rpad != rows:
+        idx8 = jnp.pad(idx8, ((0, rpad - rows), (0, 0)), constant_values=-1)
+        skey = jnp.pad(skey, ((0, rpad - rows), (0, 0)))
+    n_blocks = rpad // rb
+
+    partials = pl.pallas_call(
+        _make_threshold_kernel(n_bins),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec((rb, cols), lambda i: (i, 0)),
+            pl.BlockSpec((rb, cols), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((8, _LANES), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * 8, _LANES), jnp.float32),
+        interpret=interpret,
+    )(tk, idx8, skey)
     return jnp.sum(partials, axis=0)[:n_bins].astype(jnp.int32)

@@ -123,6 +123,99 @@ def _pad_to_tile(x: jnp.ndarray, fill) -> jnp.ndarray:
     return jnp.pad(x, ((0, rp - r), (0, cp - c)), constant_values=fill)
 
 
+_SENT16 = 32767  # i16 sentinel (= u16 0xFFFF after the +-32768 offset)
+
+
+def _make_bisect16_pair_kernel(rows: int, row_chunk: int):
+    """16-iteration bisect for TWO order statistics in one i16 plane.
+
+    The fused tuning estimator (models/chroma.py) selects the midpoint
+    median's floor/ceil ranks over one u16 half of the sort keys; both
+    ranks share every count pass (one chunk widen, two compares), so a
+    level costs ~half of two independent bisects. Plane values are u16
+    bytes offset by -32768 (no 16-bit ordered compare either — chunks
+    widen to f32, where 0..65535 is exact); excluded elements hold
+    `_SENT16`, with the same never-count-the-top-value construction as
+    the int8 kernel. Writes `[b_f, b_c, below_f, below_c]` (int32,
+    `below_*` = #elements in buckets strictly below `b_*`) to
+    `out_ref[0, :4]`.
+    """
+    assert rows % row_chunk == 0, (rows, row_chunk)
+    n_chunks = rows // row_chunk
+
+    def count_le2(plane_ref, mid_f, mid_c):
+        def body(ch, cnt):
+            seg = plane_ref[
+                pl.ds(ch * row_chunk, row_chunk), :
+            ].astype(jnp.float32)
+            s_f = jnp.sum((seg <= mid_f).astype(jnp.int32), dtype=jnp.int32)
+            s_c = jnp.sum((seg <= mid_c).astype(jnp.int32), dtype=jnp.int32)
+            return (
+                (cnt[0] + s_f).astype(jnp.int32),
+                (cnt[1] + s_c).astype(jnp.int32),
+            )
+
+        return jax.lax.fori_loop(
+            0, n_chunks, body, (jnp.int32(0), jnp.int32(0))
+        )
+
+    def widen(mid):
+        return (mid - 32768).astype(jnp.float32)
+
+    def kernel(k_ref, plane_ref, out_ref):
+        kf = k_ref[0, 0]
+        kc = k_ref[0, 1]
+        lo_f = jnp.int32(0)
+        hi_f = jnp.int32(65534)
+        lo_c = jnp.int32(0)
+        hi_c = jnp.int32(65534)
+        for _ in range(16):
+            mid_f = lo_f + (hi_f - lo_f) // 2
+            mid_c = lo_c + (hi_c - lo_c) // 2
+            cf, cc = count_le2(plane_ref, widen(mid_f), widen(mid_c))
+            tl_f = cf >= kf + 1
+            tl_c = cc >= kc + 1
+            lo_f = jnp.where(tl_f, lo_f, mid_f + 1)
+            hi_f = jnp.where(tl_f, mid_f, hi_f)
+            lo_c = jnp.where(tl_c, lo_c, mid_c + 1)
+            hi_c = jnp.where(tl_c, mid_c, hi_c)
+        bl_f, bl_c = count_le2(plane_ref, widen(lo_f - 1), widen(lo_c - 1))
+        out_ref[0, 0] = lo_f
+        out_ref[0, 1] = lo_c
+        out_ref[0, 2] = jnp.where(lo_f > 0, bl_f, 0)
+        out_ref[0, 3] = jnp.where(lo_c > 0, bl_c, 0)
+
+    return kernel
+
+
+def bisect16_pair(
+    plane: jnp.ndarray, ks: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """Run the paired 16-bit bisect on an i16 plane `[R, C]`.
+
+    `ks` is `[1, 2]` int32 (floor/ceil ranks). Returns `[1, 4]` int32
+    `[bucket_f, bucket_c, below_f, below_c]`. The plane is tile-padded
+    here with the sentinel.
+    """
+    plane = _pad_to_tile(plane, _SENT16)
+    rows = plane.shape[0]
+    out = pl.pallas_call(
+        _make_bisect16_pair_kernel(rows, _row_chunk(rows)),
+        in_specs=[
+            pl.BlockSpec((1, 2), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 4), jnp.int32),
+        interpret=interpret,
+        # the i16 plane (~9 MB for an 8x5-min bucket) is double-buffered
+        # under vmap's batch grid dim; the 16 MB default scoped-vmem
+        # limit OOMs — raise it (v5e VMEM is far larger)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=40 << 20),
+    )(ks, plane)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("q", "interpret"))
 def masked_quantile_midpoint_radix(
     values: jnp.ndarray,

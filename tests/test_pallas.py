@@ -117,6 +117,41 @@ def test_timbral_fused_interpret_matches_unfused():
     os.environ.get("BLISS_TEST_TPU") == "1",
     reason="interpret-mode pass is the CPU suite's job",
 )
+def test_tuning_fused_interpret_matches_unfused():
+    """Fused tuning estimator (paired 16-bit bisect + key-space
+    threshold histogram) == the unfused estimate_tuning, bit-exact."""
+    from bliss_tpu.models.chroma import (
+        _estimate_tuning_fused,
+        estimate_tuning,
+    )
+
+    bins, frames = 4097, 173
+    fmask = np.ones(frames, bool)
+    fmask[-7:] = False
+    for seed in range(3):
+        rng = np.random.default_rng(seed)
+        # sparse sharp peaks over a noise floor: realistic pip density
+        spec = (rng.random((bins, frames)) ** 8).astype(np.float32)
+        spec[rng.integers(0, bins, 400), rng.integers(0, frames, 400)] += (
+            rng.random(400).astype(np.float32) * 20.0
+        )
+        got = _estimate_tuning_fused(
+            jnp.asarray(spec), jnp.asarray(fmask), 8192, interpret=True
+        )
+        want = estimate_tuning(jnp.asarray(spec), jnp.asarray(fmask), 8192)
+        assert float(got) == float(want), (seed, float(got), float(want))
+    # degenerate: silence -> no peaks -> 0.0
+    z = np.zeros((bins, frames), np.float32)
+    got = _estimate_tuning_fused(
+        jnp.asarray(z), jnp.asarray(fmask), 8192, interpret=True
+    )
+    assert float(got) == 0.0
+
+
+@pytest.mark.skipif(
+    os.environ.get("BLISS_TEST_TPU") == "1",
+    reason="interpret-mode pass is the CPU suite's job",
+)
 def test_specflux_fused_interpret_matches_unfused():
     from bliss_tpu.models.tempo import onset_function
     from bliss_tpu.ops.pallas_dft import pallas_frame_dft_specflux
@@ -320,6 +355,35 @@ def test_hardware_fused_descriptor_paths_match():
     # reference's f32-FFT noise class; see _make_timbral_fft_kernel)
     np.testing.assert_allclose(tb_f, tb_u, atol=5e-5)
     np.testing.assert_allclose(tp_f, tp_u, atol=5e-6)
+
+
+@pytest.mark.skipif(
+    os.environ.get("BLISS_TEST_TPU") != "1",
+    reason="hardware kernel test needs BLISS_TEST_TPU=1 (real TPU)",
+)
+def test_hardware_tuning_fused_matches_radix():
+    """Fused tuning estimator == the unfused radix path, bit-exact,
+    through chroma_features on chip (both paths are TPU-only)."""
+    import os as _os
+
+    import jax
+
+    from bliss_tpu.models.chroma import chroma_features
+
+    assert jax.default_backend() == "tpu"
+    rng = np.random.default_rng(21)
+    n = 22050 * 10
+    sig = jnp.asarray((rng.normal(size=n) * 0.1).astype(np.float32))
+    ln = jnp.int32(n)
+    got = np.asarray(jax.jit(chroma_features)(sig, ln))
+    _os.environ["BLISS_TUNING_FUSED"] = "0"
+    try:
+        want = np.asarray(
+            jax.jit(lambda s, l: chroma_features(s, l))(sig, ln)
+        )
+    finally:
+        _os.environ.pop("BLISS_TUNING_FUSED")
+    np.testing.assert_array_equal(got, want)
 
 
 @pytest.mark.skipif(
