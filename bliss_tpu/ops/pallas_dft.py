@@ -485,7 +485,22 @@ def _pallas_frame_dft_timbral_impl(
     return out[:n_frames, :5]
 
 
-def _make_specflux_kernel(window: int, width: int, fblock: int, nb: int):
+def _specflux_b16x3() -> bool:
+    """3-pass bf16x3 dots for the SpecFlux DFT (vs HIGHEST's 6 passes).
+    The onset function feeds a thresholded peak picker and a MEDIAN of
+    quantized beat periods — the ~2^-16 relative magnitude noise either
+    leaves the BPM bit-identical or flips it by a whole discrete step
+    (which the corpus drift contract would catch loudly). Measured
+    identical tempo features on the fixture corpus; BLISS_SPECFLUX_PREC
+    =highest restores the 6-pass dots."""
+    import os
+
+    return os.environ.get("BLISS_SPECFLUX_PREC", "b16x3") != "highest"
+
+
+def _make_specflux_kernel(
+    window: int, width: int, fblock: int, nb: int, b16x3: bool
+):
     """Slab DFT + SpecFlux onset, fused in VMEM.
 
     Computes magnitudes for `fblock + 1` frames per block (one lookback
@@ -499,25 +514,44 @@ def _make_specflux_kernel(window: int, width: int, fblock: int, nb: int):
     half = window // 2  # DFT matmul covers bins 0..half-1 (lane-exact)
 
     def kernel(slab_ref, cos_ref, sin_ref, win_ref, out_ref):
+        dn = (((1,), (0,)), ((), ()))
+
+        def dot3(ah, al, bh, bl):
+            d = functools.partial(
+                jax.lax.dot_general, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            )
+            return d(ah, bh) + (d(ah, bl) + d(al, bh))
+
         re = jnp.zeros((fblock + 1, nb), jnp.float32)
         im = jnp.zeros((fblock + 1, nb), jnp.float32)
         nyq = jnp.zeros((fblock + 1,), jnp.float32)
         for c in range(chunks):
             rows = slab_ref[0, c : c + fblock + 1, :]
             piece = rows * win_ref[0:1, c * width : (c + 1) * width]
-            dn = (((1,), (0,)), ((), ()))
-            re += jax.lax.dot_general(
-                piece, cos_ref[c * width : (c + 1) * width, :],
-                dimension_numbers=dn,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            im += jax.lax.dot_general(
-                piece, sin_ref[c * width : (c + 1) * width, :],
-                dimension_numbers=dn,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            if b16x3:
+                ph, pl_ = _split_bf16(piece)
+                ch_, cl_ = _split_bf16(
+                    cos_ref[c * width : (c + 1) * width, :]
+                )
+                sh_, sl_ = _split_bf16(
+                    sin_ref[c * width : (c + 1) * width, :]
+                )
+                re += dot3(ph, pl_, ch_, cl_)
+                im += dot3(ph, pl_, sh_, sl_)
+            else:
+                re += jax.lax.dot_general(
+                    piece, cos_ref[c * width : (c + 1) * width, :],
+                    dimension_numbers=dn,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                im += jax.lax.dot_general(
+                    piece, sin_ref[c * width : (c + 1) * width, :],
+                    dimension_numbers=dn,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
             # Nyquist bin on the VPU: X_{W/2} = sum_n x[n] (-1)^n (real),
             # so the bin-count stays at `half` = exact lanes instead of
             # padding half+1 up to the next 128 multiple (1/3 less MXU)
@@ -547,7 +581,6 @@ def _make_specflux_kernel(window: int, width: int, fblock: int, nb: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("window", "hop", "n_frames"))
 def pallas_frame_dft_specflux(
     signal: jnp.ndarray, window: int, hop: int, n_frames: int
 ) -> jnp.ndarray:
@@ -556,7 +589,19 @@ def pallas_frame_dft_specflux(
     Frame f covers `signal[f*hop : f*hop + window]` (caller prepends any
     offset padding). Returns `[n_frames]` f32 onset values matching
     `onset_function(pvoc_mags(frames))` — the magnitudes never leave
-    VMEM."""
+    VMEM. Env-default precision is resolved here, outside the jit cache
+    key (see _specflux_b16x3)."""
+    return _pallas_frame_dft_specflux_impl(
+        signal, window, hop, n_frames, _specflux_b16x3()
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window", "hop", "n_frames", "b16x3")
+)
+def _pallas_frame_dft_specflux_impl(
+    signal: jnp.ndarray, window: int, hop: int, n_frames: int, b16x3: bool
+) -> jnp.ndarray:
     from .windows import hann_periodic
 
     assert supported(window, hop), (window, hop)
@@ -593,7 +638,7 @@ def pallas_frame_dft_specflux(
     )(jnp.arange(n_blocks, dtype=jnp.int32))
 
     out = pl.pallas_call(
-        _make_specflux_kernel(window, width, fblock, nb_pad),
+        _make_specflux_kernel(window, width, fblock, nb_pad, b16x3),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((1, slab_rows, width), lambda f: (f, 0, 0)),
