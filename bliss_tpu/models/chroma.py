@@ -162,6 +162,23 @@ def _chroma_filter_table(n_fft: int, sample_rate: int = SAMPLE_RATE):
     return out
 
 
+@functools.lru_cache(maxsize=4)
+def _chroma_filter_table_permuted(n_fft: int, sample_rate: int = SAMPLE_RATE):
+    """`_chroma_filter_table` with its bin axis reordered to the
+    permuted CT spectrum layout (ops/pallas_dft.ct_row_perm); rows whose
+    bin >= n_fft//2+1 (the rfft mirror rows of the permuted layout) get
+    zero weight, so the chroma matmul consumes the permuted spectrum
+    directly — no bin-major transpose pass."""
+    from ..ops.pallas_dft import ct_row_perm
+
+    table = _chroma_filter_table(n_fft, sample_rate)
+    perm = ct_row_perm(n_fft)
+    out = np.zeros(table.shape[:2] + (len(perm),), table.dtype)
+    valid = perm < table.shape[-1]
+    out[..., valid] = table[..., perm[valid]]
+    return out
+
+
 def _pitch_band(n_fft: int, sample_rate: int = SAMPLE_RATE):
     """Static [fmin, fmax) bin range for pip_track (src/chroma.rs:275-287)."""
     fft_freqs = np.linspace(0.0, sample_rate / 2.0, 1 + n_fft // 2)
@@ -278,6 +295,7 @@ def _estimate_tuning_fused(
     resolution: float = 0.01,
     bins_per_octave: int = 12,
     interpret: bool = False,
+    permuted: bool = False,
 ):
     """One-sweep-per-stage tuning estimator (TPU production path).
 

@@ -919,6 +919,26 @@ def _make_ct_kernel(n2: int, fblock: int, b16x3: bool = False):
     return kernel
 
 
+def ct_row_perm(window: int, n_bins: int | None = None) -> "np.ndarray":
+    """Bin number of each row of the PERMUTED CT spectrum layout.
+
+    `permuted=True` emits rows r = k2*k1_keep + k1 holding bin
+    b = k1*n2 + k2 (the cheap (0,2,1) transpose of the kernel's native
+    [k2, f, k1] output — measured 3.7 vs 5.1 ms for the bin-major
+    (2,0,1) one). Rows whose bin >= n_bins hold the REAL magnitudes of
+    the rfft mirror bins (8192-b), so column maxima are unchanged;
+    consumers must mask or zero-weight them.
+    """
+    import numpy as np
+
+    n2 = window // _LANES
+    if n_bins is None:
+        n_bins = window // 2 + 1
+    k1_keep = (n_bins - 1) // n2 + 1
+    r = np.arange(n2 * k1_keep)
+    return (r % k1_keep) * n2 + r // k1_keep
+
+
 def pallas_stft_mags_ct_fused(
     padded: jnp.ndarray,
     window: int,
@@ -927,12 +947,18 @@ def pallas_stft_mags_ct_fused(
     n_bins: int | None = None,
     fblock: int | None = None,
     b16x3: bool | None = None,
+    permuted: bool = False,
 ) -> jnp.ndarray:
     """|DFT| spectrum `[n_bins, n_frames]` straight from the padded
     signal — frame `f` is `padded[f*hop : f*hop + window]`, extracted
     inside the kernel (see `_make_ct_fused_kernel`). Bit-identical to
     `pallas_stft_mags_ct(frame_signal_reflect-style frames, ...)` at the
     same precision flags, minus the framing pass's HBM traffic.
+
+    With `permuted=True` the rows come out in the cheaper k2-major
+    order (`ct_row_perm`), `[n2*k1_keep, n_frames]` — layout-aware
+    consumers (the fused tuning estimator, the permuted chroma filter)
+    save ~1.3 ms/batch of pure transpose traffic.
 
     TPU-only (Element-indexed blocks + `pltpu.roll` have no interpret
     support guarantee); `supported_ct(window)` required.
@@ -942,14 +968,14 @@ def pallas_stft_mags_ct_fused(
     if b16x3 is None:
         b16x3 = _ct_b16x3()
     return _pallas_stft_mags_ct_fused_impl(
-        padded, window, hop, n_frames, n_bins, fblock, b16x3
+        padded, window, hop, n_frames, n_bins, fblock, b16x3, permuted
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("window", "hop", "n_frames", "n_bins", "fblock",
-                     "b16x3"),
+                     "b16x3", "permuted"),
 )
 def _pallas_stft_mags_ct_fused_impl(
     padded: jnp.ndarray,
@@ -959,6 +985,7 @@ def _pallas_stft_mags_ct_fused_impl(
     n_bins: int | None,
     fblock: int,
     b16x3: bool,
+    permuted: bool = False,
 ) -> jnp.ndarray:
     import numpy as np
 
@@ -1036,6 +1063,12 @@ def _pallas_stft_mags_ct_fused_impl(
     )(rvec, sig2d, c2, s2, tcb, tsb, c1, s1, winb)
 
     k1_keep = (n_bins - 1) // n2 + 1
+    if permuted:
+        # k2-major rows (see ct_row_perm): measurably cheaper transpose
+        spec = jnp.transpose(out[:, :, :k1_keep], (0, 2, 1)).reshape(
+            n2 * k1_keep, fpad
+        )
+        return spec[:, :n_frames]
     spec = jnp.transpose(out[:, :, :k1_keep], (2, 0, 1)).reshape(
         k1_keep * n2, fpad
     )
