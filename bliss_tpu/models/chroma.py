@@ -162,21 +162,12 @@ def _chroma_filter_table(n_fft: int, sample_rate: int = SAMPLE_RATE):
     return out
 
 
-@functools.lru_cache(maxsize=4)
-def _chroma_filter_table_permuted(n_fft: int, sample_rate: int = SAMPLE_RATE):
-    """`_chroma_filter_table` with its bin axis reordered to the
-    permuted CT spectrum layout (ops/pallas_dft.ct_row_perm); rows whose
-    bin >= n_fft//2+1 (the rfft mirror rows of the permuted layout) get
-    zero weight, so the chroma matmul consumes the permuted spectrum
-    directly — no bin-major transpose pass."""
-    from ..ops.pallas_dft import ct_row_perm
-
-    table = _chroma_filter_table(n_fft, sample_rate)
-    perm = ct_row_perm(n_fft)
-    out = np.zeros(table.shape[:2] + (len(perm),), table.dtype)
-    valid = perm < table.shape[-1]
-    out[..., valid] = table[..., perm[valid]]
-    return out
+def _ct_native() -> bool:
+    """Consume the CT kernel's native `[n2, fpad, 128]` output directly
+    (tuning via a 24-lane band transpose, the chroma filter via a
+    dot_general over both CT axes) instead of paying the full bin-major
+    post-transpose. BLISS_CT_NATIVE=0 reverts to the transposed path."""
+    return os.environ.get("BLISS_CT_NATIVE", "1") != "0"
 
 
 def _pitch_band(n_fft: int, sample_rate: int = SAMPLE_RATE):
@@ -189,16 +180,27 @@ def _pitch_band(n_fft: int, sample_rate: int = SAMPLE_RATE):
     return beginning, end
 
 
-def pip_track(spectrum: jnp.ndarray, frame_mask: jnp.ndarray, n_fft: int):
+def pip_track(
+    spectrum: jnp.ndarray,
+    frame_mask: jnp.ndarray,
+    n_fft: int,
+    ref_max: jnp.ndarray | None = None,
+):
     """Parabolic-interpolated spectral peaks (src/chroma.rs:269-331).
 
     `spectrum` is `[n_bins, n_frames]`. Returns `(pitches, mags, mask)`,
     all `[n_rows, n_frames]` where row `i` corresponds to spectrum row
     `beginning + 1 + i`.
+
+    `ref_max` optionally supplies the per-frame full-spectrum max `[F]`
+    (the CT-native path passes it: its `spectrum` is only the low-bin
+    band, but the peak threshold is relative to ALL `n_fft//2+1` bins).
     """
     beginning, end = _pitch_band(n_fft)
     dtype = spectrum.dtype
-    ref_value = 0.1 * jnp.max(spectrum, axis=0)  # per-frame threshold
+    if ref_max is None:
+        ref_max = jnp.max(spectrum, axis=0)
+    ref_value = 0.1 * ref_max  # per-frame threshold
 
     before = spectrum[beginning : end - 3]
     elem = spectrum[beginning + 1 : end - 2]
@@ -295,7 +297,7 @@ def _estimate_tuning_fused(
     resolution: float = 0.01,
     bins_per_octave: int = 12,
     interpret: bool = False,
-    permuted: bool = False,
+    ref_max: jnp.ndarray | None = None,
 ):
     """One-sweep-per-stage tuning estimator (TPU production path).
 
@@ -322,7 +324,9 @@ def _estimate_tuning_fused(
 
     # ---- pass A: pip_track stencil -> (skey, idx8, key-hi16) planes
     beginning, end = _pitch_band(n_fft)
-    ref_value = 0.1 * jnp.max(spectrum, axis=0)
+    if ref_max is None:
+        ref_max = jnp.max(spectrum, axis=0)
+    ref_value = 0.1 * ref_max
     before = spectrum[beginning : end - 3]
     elem = spectrum[beginning + 1 : end - 2]
     after = spectrum[beginning + 2 : end - 1]
@@ -412,9 +416,15 @@ def estimate_tuning(
     n_fft: int,
     resolution: float = 0.01,
     bins_per_octave: int = 12,
+    ref_max: jnp.ndarray | None = None,
 ):
     """Tuning offset in [-0.5, 0.5) from a magnitude spectrogram
-    (src/chroma.rs:361-391 + pitch_tuning :334-359)."""
+    (src/chroma.rs:361-391 + pitch_tuning :334-359).
+
+    `ref_max` (optional per-frame full-spectrum max) lets the CT-native
+    path pass only the pitch-band rows as `spectrum` — the estimates are
+    bit-identical, the band holds every bin pip_track touches.
+    """
     dtype = spectrum.dtype
     if (
         jax.default_backend() == "tpu"
@@ -423,9 +433,12 @@ def estimate_tuning(
         and _fused_plane_bytes(spectrum.shape, n_fft) <= 12 << 20
     ):
         return _estimate_tuning_fused(
-            spectrum, frame_mask, n_fft, resolution, bins_per_octave
+            spectrum, frame_mask, n_fft, resolution, bins_per_octave,
+            ref_max=ref_max,
         )
-    pitches, mags, peak_mask = pip_track(spectrum, frame_mask, n_fft)
+    pitches, mags, peak_mask = pip_track(
+        spectrum, frame_mask, n_fft, ref_max=ref_max
+    )
     # NO ravel: flattening the [n_band_rows, n_frames] tiles (minor dim
     # not lane-aligned) costs a full TPU re-tiling relayout per array;
     # the median and the tuning histogram only need global reductions,
@@ -498,6 +511,74 @@ def chroma_stft_from_spectrum(
     raw = _compensated_matmul(filt, power)
     colsum = jnp.sum(jnp.abs(raw), axis=0)
     colsum = jnp.where(colsum < jnp.finfo(dtype).tiny, 1.0, colsum)
+    return raw / colsum
+
+
+def _compensated_dot_native(
+    filt_n: jnp.ndarray, power: jnp.ndarray, chunk_k2: int = 8
+) -> jnp.ndarray:
+    """`filt_n [12, n2, L]` x `power [n2, fpad, L]` contracted over both
+    CT axes -> `[12, fpad]`, Neumaier-compensated over k2 chunks.
+
+    Same compensation structure as `_compensated_matmul` (512-bin-scale
+    partial products combined with error recovery), chunked along the
+    sublane-major k2 axis so every chunk is a free view. XLA's layout
+    pass only needs a minor-dim-preserving (1,0,2) relayout of `power`
+    to feed the MXU — far cheaper than the bin-major (2,0,1) transpose
+    this path exists to avoid.
+    """
+    hi_prec = jax.lax.Precision.HIGHEST
+    dn = (((1, 2), (0, 2)), ((), ()))
+
+    def dot(lo, hi):
+        return jax.lax.dot_general(
+            filt_n[:, lo:hi, :], power[lo:hi], dn, precision=hi_prec
+        )
+
+    n2 = power.shape[0]
+    s = dot(0, min(chunk_k2, n2))
+    comp = jnp.zeros_like(s)
+    for lo in range(chunk_k2, n2, chunk_k2):
+        hi = min(lo + chunk_k2, n2)
+        p = dot(lo, hi)
+        t = s + p
+        comp = comp + jnp.where(
+            jnp.abs(s) >= jnp.abs(p), (s - t) + p, (p - t) + s
+        )
+        s = t
+    return s + comp
+
+
+def chroma_stft_from_native(
+    out3: jnp.ndarray, tuning, n_fft: int
+) -> jnp.ndarray:
+    """L1-normalized chromagram `[12, fpad]` straight from the CT
+    kernel's NATIVE `[n2, fpad, 128]` magnitude block
+    (`pallas_dft.pallas_stft_mags_ct_fused(native=True)`).
+
+    Matches `chroma_stft_from_spectrum` (src/chroma.rs:393-412) minus
+    the bin-major post-transpose: the tuning-selected filter row is
+    rearranged device-side into the native `[12, n2, lanes]` layout
+    (~200 KB — the rfft-mirror lanes/bins get exactly zero weight, so
+    their garbage magnitudes drop out) and applied with
+    `_compensated_dot_native`. f32/TPU path only. Columns past the true
+    `n_frames` hold pad garbage — downstream must mask by frame (the
+    descriptor means already do).
+    """
+    n2, _, lanes = out3.shape
+    table = jnp.asarray(_chroma_filter_table(n_fft), jnp.float32)
+    tuning_idx = jnp.clip(
+        jnp.round(jnp.asarray(tuning) * 100.0 + 50.0).astype(jnp.int32),
+        0,
+        99,
+    )
+    filt = table[tuning_idx]  # [12, n_bins]
+    filt_p = jnp.pad(filt, ((0, 0), (0, n2 * lanes - filt.shape[1])))
+    filt_n = jnp.transpose(filt_p.reshape(12, lanes, n2), (0, 2, 1))
+    power = out3 * out3
+    raw = _compensated_dot_native(filt_n, power)
+    colsum = jnp.sum(jnp.abs(raw), axis=0)
+    colsum = jnp.where(colsum < jnp.finfo(jnp.float32).tiny, 1.0, colsum)
     return raw / colsum
 
 
@@ -580,12 +661,49 @@ def chroma_features(
     n_valid = n_frames_stft(jnp.asarray(length, jnp.int32), HOP_SIZE)
     frame_mask = jnp.arange(n_frames_max, dtype=jnp.int32) < n_valid
 
-    spectrum = stft(
-        signal, WINDOW_SIZE, HOP_SIZE, length=length, n_frames=n_frames_max,
-        dtype=dtype,
-    )  # [4097, F]
-    tuning = estimate_tuning(spectrum, frame_mask, WINDOW_SIZE)
-    chroma = chroma_stft_from_spectrum(spectrum, tuning, WINDOW_SIZE)
+    from ..ops.spectral import _use_pallas_ct, _use_pallas_ct_fused
+
+    if (
+        _use_pallas_ct(WINDOW_SIZE)
+        and _use_pallas_ct_fused()
+        and _ct_native()
+        and jnp.dtype(dtype) == jnp.float32
+    ):
+        # CT-native path: consume the kernel's raw [n2, fpad, 128] block.
+        # Tuning sees only the bin-major pitch band (24 of 65 kept lanes
+        # transposed, ~37% of the old full transpose) plus the true
+        # full-spectrum per-frame max; the chroma filter contracts the
+        # native block directly. Tuning is bit-identical to the
+        # transposed path (same f32 elements, same plane construction).
+        from ..ops.pallas_dft import (
+            ct_band_spectrum,
+            ct_valid_max,
+            pallas_stft_mags_ct_fused,
+        )
+        from ..ops.windows import reflect_pad_signal
+
+        padded = reflect_pad_signal(signal, length, WINDOW_SIZE)
+        out3 = pallas_stft_mags_ct_fused(
+            padded, WINDOW_SIZE, HOP_SIZE, n_frames_max, native=True
+        )
+        beginning, end = _pitch_band(WINDOW_SIZE)
+        n2 = WINDOW_SIZE // 128
+        k1_count = (end - 1) // n2 + 1  # highest bin pip_track reads
+        band = ct_band_spectrum(out3, k1_count)[:, :n_frames_max]
+        ref_max = ct_valid_max(out3, WINDOW_SIZE)[:n_frames_max]
+        tuning = estimate_tuning(
+            band, frame_mask, WINDOW_SIZE, ref_max=ref_max
+        )
+        chroma = chroma_stft_from_native(out3, tuning, WINDOW_SIZE)[
+            :, :n_frames_max
+        ]
+    else:
+        spectrum = stft(
+            signal, WINDOW_SIZE, HOP_SIZE, length=length,
+            n_frames=n_frames_max, dtype=dtype,
+        )  # [4097, F]
+        tuning = estimate_tuning(spectrum, frame_mask, WINDOW_SIZE)
+        chroma = chroma_stft_from_spectrum(spectrum, tuning, WINDOW_SIZE)
     raw = chroma_interval_features(chroma, frame_mask)
     if version == 1:
         return _postprocess_v1(raw)

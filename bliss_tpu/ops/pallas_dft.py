@@ -919,24 +919,41 @@ def _make_ct_kernel(n2: int, fblock: int, b16x3: bool = False):
     return kernel
 
 
-def ct_row_perm(window: int, n_bins: int | None = None) -> "np.ndarray":
-    """Bin number of each row of the PERMUTED CT spectrum layout.
+def ct_band_spectrum(out3: jnp.ndarray, k1_count: int) -> jnp.ndarray:
+    """Bin-major `[k1_count*n2, fpad]` low-bin band of a NATIVE CT output.
 
-    `permuted=True` emits rows r = k2*k1_keep + k1 holding bin
-    b = k1*n2 + k2 (the cheap (0,2,1) transpose of the kernel's native
-    [k2, f, k1] output — measured 3.7 vs 5.1 ms for the bin-major
-    (2,0,1) one). Rows whose bin >= n_bins hold the REAL magnitudes of
-    the rfft mirror bins (8192-b), so column maxima are unchanged;
-    consumers must mask or zero-weight them.
+    `out3` is the kernel's untouched `[n2, fpad, 128]` block (`native=True`
+    below); element `[k2, f, k1]` holds bin `k1*n2 + k2`. Transposing only
+    the first `k1_count` lanes yields bins `[0, k1_count*n2)` bin-major —
+    the pip_track pitch band (150-4000 Hz -> bins 56..1485 at 8192/22050,
+    src/chroma.rs:275-287) needs just `k1_count=24` of the 65 kept lanes,
+    so this costs ~37% of the full post-CT transpose it replaces.
+    """
+    n2 = out3.shape[0]
+    fpad = out3.shape[1]
+    return jnp.transpose(out3[:, :, :k1_count], (2, 0, 1)).reshape(
+        k1_count * n2, fpad
+    )
+
+
+def ct_valid_max(out3: jnp.ndarray, window: int) -> jnp.ndarray:
+    """Per-frame max over the REAL rfft bins of a native CT output `[fpad]`.
+
+    Element `[k2, f, k1]` is bin `k1*n2 + k2`; lanes/rows whose bin
+    exceeds `window//2` are rfft mirrors (equal magnitudes in exact math
+    but not guaranteed bit-equal), so they are masked to 0 — exact for
+    magnitudes, which are >= 0. Bit-identical to
+    `jnp.max(bin_major_spectrum, axis=0)` (f32 max is order-independent).
     """
     import numpy as np
 
-    n2 = window // _LANES
-    if n_bins is None:
-        n_bins = window // 2 + 1
-    k1_keep = (n_bins - 1) // n2 + 1
-    r = np.arange(n2 * k1_keep)
-    return (r % k1_keep) * n2 + r // k1_keep
+    n2 = out3.shape[0]
+    lanes = out3.shape[2]
+    binidx = (
+        np.arange(lanes)[None, :] * n2 + np.arange(n2)[:, None]
+    )  # [n2, lanes]
+    valid = jnp.asarray(binidx <= window // 2)[:, None, :]
+    return jnp.max(jnp.where(valid, out3, 0.0), axis=(0, 2))
 
 
 def pallas_stft_mags_ct_fused(
@@ -947,7 +964,7 @@ def pallas_stft_mags_ct_fused(
     n_bins: int | None = None,
     fblock: int | None = None,
     b16x3: bool | None = None,
-    permuted: bool = False,
+    native: bool = False,
 ) -> jnp.ndarray:
     """|DFT| spectrum `[n_bins, n_frames]` straight from the padded
     signal — frame `f` is `padded[f*hop : f*hop + window]`, extracted
@@ -955,10 +972,13 @@ def pallas_stft_mags_ct_fused(
     `pallas_stft_mags_ct(frame_signal_reflect-style frames, ...)` at the
     same precision flags, minus the framing pass's HBM traffic.
 
-    With `permuted=True` the rows come out in the cheaper k2-major
-    order (`ct_row_perm`), `[n2*k1_keep, n_frames]` — layout-aware
-    consumers (the fused tuning estimator, the permuted chroma filter)
-    save ~1.3 ms/batch of pure transpose traffic.
+    With `native=True` the kernel's raw `[n2, fpad, 128]` output block is
+    returned UNtransposed (element `[k2, f, k1]` = bin `k1*n2 + k2`;
+    lanes past `(n_bins-1)//n2` and bins past `window//2` are rfft-mirror
+    garbage the consumer must zero-weight; frame columns past `n_frames`
+    are pad garbage). Layout-aware consumers (`ct_band_spectrum` for the
+    tuning band, `models.chroma.chroma_stft_from_native`'s dot_general)
+    skip the ~4 ms/batch bin-major (2,0,1) post-transpose entirely.
 
     TPU-only (Element-indexed blocks + `pltpu.roll` have no interpret
     support guarantee); `supported_ct(window)` required.
@@ -968,14 +988,14 @@ def pallas_stft_mags_ct_fused(
     if b16x3 is None:
         b16x3 = _ct_b16x3()
     return _pallas_stft_mags_ct_fused_impl(
-        padded, window, hop, n_frames, n_bins, fblock, b16x3, permuted
+        padded, window, hop, n_frames, n_bins, fblock, b16x3, native
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("window", "hop", "n_frames", "n_bins", "fblock",
-                     "b16x3", "permuted"),
+                     "b16x3", "native"),
 )
 def _pallas_stft_mags_ct_fused_impl(
     padded: jnp.ndarray,
@@ -985,7 +1005,7 @@ def _pallas_stft_mags_ct_fused_impl(
     n_bins: int | None,
     fblock: int,
     b16x3: bool,
-    permuted: bool = False,
+    native: bool = False,
 ) -> jnp.ndarray:
     import numpy as np
 
@@ -1062,13 +1082,9 @@ def _pallas_stft_mags_ct_fused_impl(
         out_shape=jax.ShapeDtypeStruct((n2, fpad, _LANES), jnp.float32),
     )(rvec, sig2d, c2, s2, tcb, tsb, c1, s1, winb)
 
+    if native:
+        return out
     k1_keep = (n_bins - 1) // n2 + 1
-    if permuted:
-        # k2-major rows (see ct_row_perm): measurably cheaper transpose
-        spec = jnp.transpose(out[:, :, :k1_keep], (0, 2, 1)).reshape(
-            n2 * k1_keep, fpad
-        )
-        return spec[:, :n_frames]
     spec = jnp.transpose(out[:, :, :k1_keep], (2, 0, 1)).reshape(
         k1_keep * n2, fpad
     )
