@@ -166,8 +166,16 @@ def _ct_native() -> bool:
     """Consume the CT kernel's native `[n2, fpad, 128]` output directly
     (tuning via a 24-lane band transpose, the chroma filter via a
     dot_general over both CT axes) instead of paying the full bin-major
-    post-transpose. BLISS_CT_NATIVE=0 reverts to the transposed path."""
-    return os.environ.get("BLISS_CT_NATIVE", "1") != "0"
+    post-transpose. BLISS_CT_NATIVE=1 opts in.
+
+    Default OFF: the round-5 on-chip measurement (PERF.md §50,
+    tmp/probe_ct_native2.py) found the native consumers 0.975x the
+    transposed path (57.36 vs 55.94 ms per 8x5-min batch) — the band
+    transpose + valid-max + dual-axis dot costs slightly more than the
+    full post-CT transpose it replaces. Parity is fine (2.4e-7, chroma
+    dims only), so the path stays available for layouts where the
+    balance tips."""
+    return os.environ.get("BLISS_CT_NATIVE", "0") == "1"
 
 
 def _pitch_band(n_fft: int, sample_rate: int = SAMPLE_RATE):
@@ -559,11 +567,13 @@ def chroma_stft_from_native(
     Matches `chroma_stft_from_spectrum` (src/chroma.rs:393-412) minus
     the bin-major post-transpose: the tuning-selected filter row is
     rearranged device-side into the native `[12, n2, lanes]` layout
-    (~200 KB — the rfft-mirror lanes/bins get exactly zero weight, so
-    their garbage magnitudes drop out) and applied with
-    `_compensated_dot_native`. f32/TPU path only. Columns past the true
-    `n_frames` hold pad garbage — downstream must mask by frame (the
-    descriptor means already do).
+    (~200 KB) and applied with `_compensated_dot_native`. The
+    rfft-mirror positions (bin = lane*n2 + k2 > n_fft/2) carry garbage
+    magnitudes; the filter gives them exactly zero weight AND the power
+    block is zeroed there explicitly, so a non-finite mirror value
+    cannot poison the dot (0*inf = NaN otherwise). f32/TPU path only.
+    Columns past the true `n_frames` hold pad garbage — downstream must
+    mask by frame (the descriptor means already do).
     """
     n2, _, lanes = out3.shape
     table = jnp.asarray(_chroma_filter_table(n_fft), jnp.float32)
@@ -575,7 +585,13 @@ def chroma_stft_from_native(
     filt = table[tuning_idx]  # [12, n_bins]
     filt_p = jnp.pad(filt, ((0, 0), (0, n2 * lanes - filt.shape[1])))
     filt_n = jnp.transpose(filt_p.reshape(12, lanes, n2), (0, 2, 1))
-    power = out3 * out3
+    # static valid-bin mask over [n2(k2), 1, lanes(k1)]: bin = k1*n2+k2
+    bin_idx = (
+        np.arange(lanes)[None, None, :] * n2
+        + np.arange(n2)[:, None, None]
+    )
+    valid = jnp.asarray(bin_idx <= n_fft // 2)
+    power = jnp.where(valid, out3 * out3, jnp.float32(0.0))
     raw = _compensated_dot_native(filt_n, power)
     colsum = jnp.sum(jnp.abs(raw), axis=0)
     colsum = jnp.where(colsum < jnp.finfo(jnp.float32).tiny, 1.0, colsum)

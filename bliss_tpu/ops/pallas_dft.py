@@ -942,8 +942,11 @@ def ct_valid_max(out3: jnp.ndarray, window: int) -> jnp.ndarray:
     Element `[k2, f, k1]` is bin `k1*n2 + k2`; lanes/rows whose bin
     exceeds `window//2` are rfft mirrors (equal magnitudes in exact math
     but not guaranteed bit-equal), so they are masked to 0 — exact for
-    magnitudes, which are >= 0. Bit-identical to
-    `jnp.max(bin_major_spectrum, axis=0)` (f32 max is order-independent).
+    FINITE magnitudes, which are >= 0. Under that assumption the result
+    is bit-identical to `jnp.max(bin_major_spectrum, axis=0)` (f32 max is
+    order-independent). A NaN in a masked mirror position is silently
+    dropped (where a hypothetical max over the mirrors would propagate
+    it); a NaN in a kept position propagates normally.
     """
     import numpy as np
 

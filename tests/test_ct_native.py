@@ -11,7 +11,7 @@ bit-identically for the band/max/tuning, tightly for the chroma matmul
 (whose Neumaier chunk grouping differs: k2-major 512-bin chunks vs
 contiguous 512-bin chunks).
 
-On-chip, `tests/test_tpu_parity.py` + the 43-fixture drift contract
+On-chip, `tests/test_tpu_parity.py` + the full-corpus drift contract
 cover the real kernel output end-to-end.
 """
 
