@@ -32,19 +32,44 @@ CORPUS = sorted(
         + list(DATA.glob("*.ogg"))
         + list(DATA.glob("*.wav"))
         + list((DATA / "chroma").glob("*.ogg"))
+        # round-5 real-content widening: resampled MP3/AAC/Vorbis at
+        # 2-3 bitrates, quiet/clipped FLAC, 48 kHz source, 21-min
+        # medley (tests/tools/make_drift_fixtures.py; the reference's
+        # envelope analog is symphonia.rs:701-750)
+        + list((DATA / "drift").iterdir())
         if p.name not in ("empty.wav",)
     ]
 ) + [DATA / "testcue.cue"]
 
+# Version1 vectors join the contract on this subset (old + new content,
+# every codec family) — reference: src/chroma.rs:128-132, Version1
+# golden test src/song/mod.rs:595-633.
+V1_SUBSET = sorted(
+    [
+        DATA / "s16_mono_22_5kHz.flac",
+        DATA / "piano.flac",
+        DATA / "white_noise.mp3",
+        DATA / "drift" / "band_mp3_192k.mp3",
+        DATA / "drift" / "perc_vorbis_64k.ogg",
+        DATA / "drift" / "vox_aac_64k.m4a",
+        DATA / "drift" / "band_quiet_-42dB.flac",
+        DATA / "drift" / "perc48_mp3_128k.mp3",
+    ]
+)
 
-def analyze_corpus() -> dict:
-    """path -> [23] features via the current backend's production path."""
+
+def analyze_corpus(version: int = 2, paths=None) -> dict:
+    """path -> features via the current backend's production path."""
     from bliss_tpu.io.batch import analyze_paths_batched
     from bliss_tpu.io.decoder import FFmpegDecoder
-    from bliss_tpu.song import Song
+    from bliss_tpu.song import AnalysisOptions, Song
 
+    options = AnalysisOptions(features_version=version)
     out = {}
-    for path, result in analyze_paths_batched(FFmpegDecoder, CORPUS):
+    for path, result in analyze_paths_batched(
+        FFmpegDecoder, paths if paths is not None else CORPUS,
+        analysis_options=options,
+    ):
         if isinstance(result, Song):
             out[str(path)] = np.asarray(
                 result.analysis.as_arr1(), np.float64
@@ -54,13 +79,21 @@ def analyze_corpus() -> dict:
     return out
 
 
+def analyze_both() -> dict:
+    """{'v2': full-corpus vectors, 'v1': V1_SUBSET vectors}."""
+    return {
+        "v2": analyze_corpus(),
+        "v1": analyze_corpus(version=1, paths=V1_SUBSET),
+    }
+
+
 def main():
     if os.environ.get("BLISS_DRIFT_CHILD") == "1":
         import jax
 
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
-        print(json.dumps(analyze_corpus()))
+        print(json.dumps(analyze_both()))
         return
 
     # CPU/x64 reference in a child (one process = one backend)
@@ -96,12 +129,26 @@ def main():
     # tests/test_tpu_drift.py); i16b: the legacy all-quantized diagnostic
     for kind, enforce in (("f32", True), ("auto", True), ("i16b", False)):
         os.environ["BLISS_UPLOAD"] = kind
-        tpu = analyze_corpus()
+        both = analyze_both()
+        tpu = both["v2"]
+
+        # Version1 subset rides the same bound (10 raw chroma features
+        # at the 0.12 scale are MORE drift-sensitive than v2's
+        # L2-normalized split — src/chroma.rs:128-132)
+        for key, ref in sorted(reference["v1"].items()):
+            got = both["v1"].get(key)
+            if ref is None or got is None:
+                assert ref == got, f"v1 {key}: mismatched failure"
+                continue
+            v1err = np.abs(np.asarray(got) - np.asarray(ref)).max()
+            print(f"  v1 {pathlib.Path(key).name:32s} max drift {v1err:.2e}")
+            if enforce:
+                assert v1err < 1.2e-4, f"v1 contract violated: {key}"
 
         drifts = []
         deg_drifts = []
         per_file = []
-        for key, ref in sorted(reference.items()):
+        for key, ref in sorted(reference["v2"].items()):
             got = tpu.get(key)
             if ref is None or got is None:
                 status = (

@@ -63,7 +63,7 @@ def _reference_vectors() -> dict:
     for p in corpus:
         h.update(str(p).encode())
         h.update(str(p.stat().st_mtime_ns if p.exists() else 0).encode())
-    cache = REPO / "tmp" / f"drift_ref_{h.hexdigest()[:16]}.json"
+    cache = REPO / "tmp" / f"drift_ref2_{h.hexdigest()[:16]}.json"
     if cache.exists():
         return json.loads(cache.read_text())
     env = dict(os.environ, BLISS_DRIFT_CHILD="1")
@@ -83,23 +83,43 @@ def _reference_vectors() -> dict:
 
 def test_default_config_accuracy_contract():
     """DEFAULT configuration (auto wire: certified i16b / i24b), whole
-    corpus, per-feature drift <=1e-4 on every real-content fixture."""
+    corpus, per-feature drift <=1e-4 on every real-content fixture —
+    incl. the round-5 resampled MP3/AAC/Vorbis multi-bitrate set,
+    quiet/clipped FLAC, 48 kHz source, the 21-min medley, and Version1
+    vectors over V1_SUBSET."""
     import jax
 
     assert jax.default_backend() == "tpu", jax.default_backend()
     assert "BLISS_UPLOAD" not in os.environ, "default config only"
 
     sys.path.insert(0, str(REPO))
-    from benches.tpu_drift import analyze_corpus
+    from benches.tpu_drift import analyze_both
 
     reference = _reference_vectors()
-    got = analyze_corpus()
+    both = analyze_both()
+    got = both["v2"]
     degenerate = _degenerate()
 
     failures = []
+
+    # Version1 subset: same 1e-4 bound (more drift-sensitive than v2's
+    # normalized split — src/chroma.rs:128-132)
+    v1_checked = 0
+    for key, ref in sorted(reference["v1"].items()):
+        tpu = both["v1"].get(str(key))
+        if ref is None or tpu is None:
+            if ref != tpu:
+                failures.append(f"v1 {key}: mismatched failure")
+            continue
+        v1_checked += 1
+        err = np.abs(np.asarray(tpu) - np.asarray(ref))
+        if err.max() > 1e-4:
+            failures.append(f"v1 {key}: drift {err.max():.3e} > 1e-4")
+    assert v1_checked >= 8, f"v1 subset shrank? {v1_checked}"
+
     checked = real = 0
     worst = (0.0, None)
-    for key, ref in sorted(reference.items()):
+    for key, ref in sorted(reference["v2"].items()):
         tpu = got.get(str(key))
         if ref is None or tpu is None:
             # expected decode/length failures must agree between backends
@@ -126,9 +146,15 @@ def test_default_config_accuracy_contract():
                 f"{key}: feature {int(err.argmax())} drift "
                 f"{err.max():.3e} > 1e-4"
             )
-    # corpus today: 40 files (+ CUE tracks), 22 of them degenerate
-    # synthetics -> 20 real-content fixtures carry the 1e-4 contract
-    assert checked >= 40, f"corpus shrank? analyzed only {checked}"
-    assert real >= 19, f"too few real-content fixtures: {real}"
-    print(f"\ncontract: {real} real-content fixtures, worst {worst}")
+    # corpus today: 55 files (+ CUE tracks), 22 of them degenerate
+    # synthetics -> 35 real-content fixtures carry the 1e-4 contract
+    # (incl. 13 resampled lossy at 32k-192k, quiet/clipped FLAC, a
+    # 48 kHz source and the 21-min medley), plus the 8-fixture
+    # Version1 subset above
+    assert checked >= 55, f"corpus shrank? analyzed only {checked}"
+    assert real >= 34, f"too few real-content fixtures: {real}"
+    print(
+        f"\ncontract: {real} real-content fixtures (+{v1_checked} v1), "
+        f"worst {worst}"
+    )
     assert not failures, "\n".join(failures)
