@@ -50,6 +50,18 @@ from ..song import AnalysisOptions, Song
 DEFAULT_BATCH = 8
 LONG_SONG = 1 << 24
 
+def _longsong_threshold() -> int:
+    """Songs above this many samples are routed through the time-sharded
+    full-pipeline analyzer (parallel/longsong.py) when more than one
+    device is visible: one giant single-device bucket past ~20 min
+    stresses VMEM in the select kernels (round-3 advisor note) and
+    leaves every other chip idle. Single-device setups keep the bucket
+    path (exercised on hardware by the 21-min drift-corpus medley).
+    `BLISS_LONGSONG_SAMPLES` overrides (tests use a small bound)."""
+    return int(
+        os.environ.get("BLISS_LONGSONG_SAMPLES", str(20 * 60 * 22050))
+    )
+
 #: Device batches left in flight while new work streams in. Each holds
 #: only its [B, 23] output plus the input handles, so the cost is HBM
 #: for the inputs; 3 keeps the device busy across fetch round-trips.
@@ -246,6 +258,38 @@ def _analysis_devices() -> tuple:
     if cap:
         devs = devs[: max(1, int(cap))]
     return devs
+
+
+def _device_count() -> int:
+    return len(_analysis_devices())
+
+
+def _longsong_mesh():
+    from jax.sharding import Mesh
+
+    # not cached: the device set follows BLISS_ANALYZE_DEVICES; equal
+    # Mesh objects hash equal, so the jitted analyzer cache still hits
+    return Mesh(np.array(_analysis_devices()), ("time",))
+
+
+def _dispatch_longsong(d: "_Decoded", version: int) -> np.ndarray:
+    """Analyze one very long song time-sharded over all devices
+    (parallel/longsong.sharded_analyze_samples). Returns `[1, F]` so
+    the drain loop treats it like a 1-song bucket. The signal ships as
+    f32 (4 B/sample, one sharded put) — the block-float wire doesn't
+    apply because each shard reconstructs locally; a per-shard wire is
+    possible future work if long songs ever dominate ingest."""
+    from ..parallel.longsong import sharded_analyze_samples
+    from ..utils.retry import retry_transient
+
+    samples = d.raw.sample_array
+    d.raw.sample_array = None
+    feats = retry_transient(
+        lambda: sharded_analyze_samples(
+            _longsong_mesh(), samples, d.n, version
+        )
+    )
+    return np.asarray(feats)[None]
 
 
 def _usable_ndev(b: int, avail: int) -> int:
@@ -572,6 +616,13 @@ def analyze_paths_batched(
             return [(d.path, d.error)], None
         if d.n < MIN_SAMPLES:
             return [(d.path, AnalysisError("empty or too short song."))], None
+        if d.n > _longsong_threshold() and _device_count() > 1:
+            # full-pipeline sequence parallelism: the song's time axis
+            # shards over every visible device (parallel/longsong.py);
+            # rides the same in-flight/drain machinery as a 1-song bucket
+            fut = dispatcher.submit(_dispatch_longsong, d, version)
+            in_flight.append(([d], fut))
+            return [], "long"
         padded = bucket_length(d.n)
         b = batch_size if padded <= LONG_SONG else max(1, batch_size // 4)
         # the wire kind is part of the bucket key: under the `auto`
@@ -629,6 +680,9 @@ def analyze_paths_batched(
                     errs, key = place(d)
                     yield from errs
                     if key is None:
+                        continue
+                    if key == "long":
+                        yield from drain(keep=in_flight_batches)
                         continue
                     slot = len(buckets[key]) - 1
                     submit_upload(d, _slot_device(key[1], slot))

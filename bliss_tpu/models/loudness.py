@@ -14,6 +14,26 @@ from ..ops import masked_mean, masked_std, normalize_range
 WINDOW_SIZE = 1024  # src/misc.rs:44
 
 
+def summarize_levels(level: jnp.ndarray, chunk_len: jnp.ndarray) -> jnp.ndarray:
+    """Mean/std of per-chunk linear levels → normalized dB features
+    (src/misc.rs:43-71). Shared by `loudness_features` and the
+    time-sharded long-song path (parallel/longsong.py)."""
+    mask = chunk_len > 0
+    mean_value = masked_mean(level, mask)
+    std_value = masked_std(level, mask)
+    floor = jnp.asarray(1e-9, level.dtype)
+    mean_value = jnp.maximum(mean_value, floor)
+    std_value = jnp.maximum(std_value, floor)
+    mean_db = 10.0 * jnp.log10(mean_value)
+    std_db = 10.0 * jnp.log10(std_value)
+    return jnp.stack(
+        [
+            normalize_range(mean_db, -90.0, 0.0),
+            normalize_range(std_db, -90.0, 0.0),
+        ]
+    ).astype(jnp.float32)
+
+
 def loudness_features(signal: jnp.ndarray, length) -> jnp.ndarray:
     t = signal.shape[-1]
     n_chunks_max = -(-t // WINDOW_SIZE)
@@ -35,18 +55,4 @@ def loudness_features(signal: jnp.ndarray, length) -> jnp.ndarray:
     )
     energy = jnp.sum(masked * masked, axis=-1)
     level = energy / jnp.maximum(chunk_len, 1).astype(signal.dtype)
-
-    mask = chunk_len > 0
-    mean_value = masked_mean(level, mask)
-    std_value = masked_std(level, mask)
-    floor = jnp.asarray(1e-9, signal.dtype)
-    mean_value = jnp.maximum(mean_value, floor)
-    std_value = jnp.maximum(std_value, floor)
-    mean_db = 10.0 * jnp.log10(mean_value)
-    std_db = 10.0 * jnp.log10(std_value)
-    return jnp.stack(
-        [
-            normalize_range(mean_db, -90.0, 0.0),
-            normalize_range(std_db, -90.0, 0.0),
-        ]
-    ).astype(jnp.float32)
+    return summarize_levels(level, chunk_len)

@@ -684,6 +684,25 @@ def tempo_feature(signal: jnp.ndarray, length, sample_rate: int = 22050):
     # silence gate sees the raw (non-slid) 512-sample window at hop h
     silent = silence_flags_blocked(signal, h_max)
 
+    return tempo_from_series(thresh, silent, h_valid, sample_rate)
+
+
+def tempo_from_series(
+    thresh: jnp.ndarray,
+    silent: jnp.ndarray,
+    h_valid,
+    sample_rate: int = 22050,
+):
+    """Beat tracking + median BPM from the per-hop thresholded novelty
+    `thresh` `[H]` and silence flags `silent` `[H]` (hops >= `h_valid`
+    are masked). Split out of `tempo_feature` so the time-sharded
+    long-song path (parallel/longsong.py) can compute the per-hop series
+    sharded and run this small replicated stage on the gathered result.
+    """
+    consts = _bt_constants(sample_rate)
+    step = consts.step
+    h_max = thresh.shape[0]
+
     # --- sequential beat tracking, one scan step per `step` hops.
     # Block k runs BeatTracking at hop 127+128k on a detection-function
     # buffer that is a pure strided window of the thresholded series

@@ -56,6 +56,54 @@ def spectral_frame_mags(signal: jnp.ndarray, n_frames: int) -> jnp.ndarray:
     )
 
 
+def frame_descriptors_from_mags(mags: jnp.ndarray):
+    """Per-frame (centroid_hz, rolloff_hz, flatness) from buggy-256-bin
+    magnitudes `[..., F, 256]` — the aubio per-frame math
+    (src/aubio.rs:16-58, src/timbral.rs:196-208), shared by the
+    non-fused path below and the time-sharded long-song path
+    (parallel/longsong.py)."""
+    n_bins = WINDOW_SIZE // 2
+    total = jnp.sum(mags, axis=-1)
+    weighted = jnp.sum(mags * jnp.arange(n_bins, dtype=mags.dtype), axis=-1)
+    sq = mags * mags
+    cumsum = jnp.cumsum(sq, axis=-1)
+    energy = cumsum[..., -1]
+    target = energy * jnp.asarray(0.95, mags.dtype)
+    below = jnp.sum((cumsum < target[..., None]).astype(jnp.int32), axis=-1)
+    geo = geometric_mean(mags, axis=-1)
+    arith = jnp.mean(mags, axis=-1)
+
+    centroid_bin = jnp.where(total == 0.0, 0.0, weighted / total)
+    centroid_hz = centroid_bin * (SAMPLE_RATE / WINDOW_SIZE)
+    roll_bin = jnp.where(energy == 0.0, 0, below + 1).astype(energy.dtype)
+    roll_bin = jnp.minimum(roll_bin, WINDOW_SIZE / 2.0)
+    rolloff_hz = roll_bin * (SAMPLE_RATE / WINDOW_SIZE)
+    flatness = jnp.where(
+        geo == 0.0, 0.0, geo / jnp.where(arith == 0.0, 1.0, arith)
+    )
+    return centroid_hz, rolloff_hz, flatness
+
+
+def summarize_spectral(
+    centroid_hz: jnp.ndarray,
+    rolloff_hz: jnp.ndarray,
+    flatness: jnp.ndarray,
+    mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Normalized mean+std summaries of the three per-frame series
+    (SpectralDesc getters, src/timbral.rs:57-122)."""
+    half_sr = SAMPLE_RATE / 2.0
+    feats = [
+        normalize_range(masked_mean(centroid_hz, mask), 0.0, half_sr),
+        normalize_range(masked_std(centroid_hz, mask), 0.0, half_sr),
+        normalize_range(masked_mean(rolloff_hz, mask), 0.0, half_sr),
+        normalize_range(masked_std(rolloff_hz, mask), 0.0, half_sr),
+        normalize_range(masked_mean(flatness, mask), 0.0, 1.0),
+        normalize_range(masked_std(flatness, mask), 0.0, 1.0),
+    ]
+    return jnp.stack(feats).astype(jnp.float32)
+
+
 def spectral_features(signal: jnp.ndarray, length) -> jnp.ndarray:
     """Six timbral features: normalized mean+std of centroid (Hz),
     rolloff (Hz) and flatness. Matches SpectralDesc getters
@@ -83,53 +131,27 @@ def spectral_features(signal: jnp.ndarray, length) -> jnp.ndarray:
         below, logsum, energy = raw[:, 2], raw[:, 3], raw[:, 4]
         geo = jnp.exp2(logsum / n_bins)
         arith = total / n_bins
+
+        centroid_bin = jnp.where(total == 0.0, 0.0, weighted / total)
+        centroid_hz = centroid_bin * (SAMPLE_RATE / WINDOW_SIZE)
+        # dtype-parametric cast: the fused TPU path is f32, but the CPU
+        # x64 golden-parity path must stay f64 end-to-end (advisor r3)
+        roll_bin = jnp.where(energy == 0.0, 0, below + 1).astype(
+            energy.dtype
+        )
+        # aubio PR#318 workaround (src/timbral.rs:185-187)
+        roll_bin = jnp.minimum(roll_bin, WINDOW_SIZE / 2.0)
+        rolloff_hz = roll_bin * (SAMPLE_RATE / WINDOW_SIZE)
+        flatness = jnp.where(
+            geo == 0.0, 0.0, geo / jnp.where(arith == 0.0, 1.0, arith)
+        )
     else:
         mags = spectral_frame_mags(signal, n_frames_max)  # [F, 256]
-
-        # --- centroid raw sums (src/aubio.rs:16-29)
-        total = jnp.sum(mags, axis=-1)
-        weighted = jnp.sum(
-            mags * jnp.arange(n_bins, dtype=mags.dtype), axis=-1
+        centroid_hz, rolloff_hz, flatness = frame_descriptors_from_mags(
+            mags
         )
 
-        # --- rolloff (src/aubio.rs:36-58): first bin where the inclusive
-        # cumulative squared-magnitude sum reaches 95% of the total.
-        sq = mags * mags
-        cumsum = jnp.cumsum(sq, axis=-1)
-        energy = cumsum[..., -1]
-        target = energy * jnp.asarray(0.95, mags.dtype)
-        below = jnp.sum(
-            (cumsum < target[..., None]).astype(jnp.int32), axis=-1
-        )
-
-        # --- flatness inputs (src/timbral.rs:196-208)
-        geo = geometric_mean(mags, axis=-1)
-        arith = jnp.mean(mags, axis=-1)
-
-    centroid_bin = jnp.where(total == 0.0, 0.0, weighted / total)
-    centroid_hz = centroid_bin * (SAMPLE_RATE / WINDOW_SIZE)
-
-    # dtype-parametric cast: the fused TPU path is f32, but the CPU x64
-    # golden-parity path must stay f64 end-to-end (advisor r3)
-    roll_bin = jnp.where(energy == 0.0, 0, below + 1).astype(energy.dtype)
-    # aubio PR#318 workaround (src/timbral.rs:185-187)
-    roll_bin = jnp.minimum(roll_bin, WINDOW_SIZE / 2.0)
-    rolloff_hz = roll_bin * (SAMPLE_RATE / WINDOW_SIZE)
-
-    flatness = jnp.where(
-        geo == 0.0, 0.0, geo / jnp.where(arith == 0.0, 1.0, arith)
-    )
-
-    half_sr = SAMPLE_RATE / 2.0
-    feats = [
-        normalize_range(masked_mean(centroid_hz, mask), 0.0, half_sr),
-        normalize_range(masked_std(centroid_hz, mask), 0.0, half_sr),
-        normalize_range(masked_mean(rolloff_hz, mask), 0.0, half_sr),
-        normalize_range(masked_std(rolloff_hz, mask), 0.0, half_sr),
-        normalize_range(masked_mean(flatness, mask), 0.0, 1.0),
-        normalize_range(masked_std(flatness, mask), 0.0, 1.0),
-    ]
-    return jnp.stack(feats).astype(jnp.float32)
+    return summarize_spectral(centroid_hz, rolloff_hz, flatness, mask)
 
 
 def zcr_feature(signal: jnp.ndarray, length) -> jnp.ndarray:
