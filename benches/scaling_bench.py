@@ -116,6 +116,49 @@ def main():
         )
     )
 
+    # per-round DCN overhead of the multi-host seam (VERDICT r4 #7):
+    # a 2-process gloo fake cluster times analyze_batch_distributed
+    # rounds against the local analyzer (tests/_distributed_worker.py)
+    _dcn_overhead_bench()
+
+
+def _dcn_overhead_bench():
+    import socket
+    import subprocess
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = " ".join(
+        f
+        for f in env.get("XLA_FLAGS", "").split()
+        if "host_platform_device_count" not in f
+    )
+    env["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=4"
+    ).strip()
+    worker = REPO / "tests" / "_distributed_worker.py"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), str(port), "dcn_bench"],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        for line in out.splitlines():
+            if line.startswith("DCN_BENCH "):
+                print(line[len("DCN_BENCH "):], flush=True)
+        if p.returncode != 0:
+            print(f"dcn_bench worker failed:\n{out[-2000:]}", flush=True)
+
 
 if __name__ == "__main__":
     main()

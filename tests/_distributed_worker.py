@@ -1,16 +1,25 @@
-"""Worker process for the two-host fake-cluster tests
+"""Worker process for the N-host fake-cluster tests
 (tests/test_distributed.py). Run as:
-    python _distributed_worker.py <process_id> <coordinator_port> <scenario> [workdir]
+    python _distributed_worker.py <process_id> <coordinator_port> <scenario> [args...] [--nprocs N]
 with JAX_PLATFORMS=cpu and 4 forced host devices in the environment.
 
 Scenarios:
-  smoke    — equal-shape batch analysis + global top-k (the r3 smoke)
-  ragged   — UNEQUAL per-host batch counts (5 vs 3, then 2 vs 0) and
-             mismatched pad lengths, handled inside the seam
-  library  — update_library_distributed: both hosts commit to one
-             shared SQLite DB in <workdir>
-  die      — worker 1 exits right after init; worker 0 must surface a
-             clean error (not hang) when its collective loses the peer
+  smoke       — equal-shape batch analysis + global top-k (the r3 smoke)
+  ragged      — UNEQUAL per-host batch counts (5 vs 3, then 2 vs 0) and
+                mismatched pad lengths, handled inside the seam
+  library     — update_library_distributed: all hosts commit to one
+                shared SQLite DB in <workdir>; with --nprocs 4 the
+                round-robin work split is RAGGED (hosts get 2/1/1/0
+                songs — the zero-batch host rides empty rounds)
+  die         — worker 1 exits right after init; worker 0 must surface a
+                clean error (not hang) when its collective loses the peer
+  library_die — worker 1 dies MID-UPDATE (after its first analysis
+                round); survivors must error cleanly, storing nothing
+  library_resume — a fresh cluster re-runs update_library_distributed
+                after the library_die crash: the set-difference work
+                list resumes the missing songs, no duplicate rows
+  dcn_bench   — times `analyze_batch_distributed` rounds vs the local
+                analyzer and prints the per-round fabric overhead
 """
 
 import pathlib
@@ -110,8 +119,7 @@ def scenario_ragged(pid, mesh):
         )
 
 
-def scenario_library(pid, mesh, workdir):
-    """Both hosts update ONE shared library DB through the global mesh."""
+def _open_shared_library(pid, workdir):
     from jax.experimental import multihost_utils
 
     from bliss_tpu.io.decoder import FFmpegDecoder
@@ -119,26 +127,38 @@ def scenario_library(pid, mesh, workdir):
 
     workdir = pathlib.Path(workdir)
     config = BaseConfig(config_path=workdir / "config.json")
-    if pid == 0:
+    if pid == 0 and not config.config_path.exists():
         lib = Library.new(config, FFmpegDecoder)
         multihost_utils.sync_global_devices("lib_created")
     else:
         multihost_utils.sync_global_devices("lib_created")
         lib = Library(config, FFmpegDecoder, create=False)
+    return lib
 
-    paths = [
-        DATA / "s16_mono_22_5kHz.flac",
-        DATA / "piano.flac",
-        DATA / "s32_stereo_44_1_kHz.mp3",
-        DATA / "s32_stereo_44_1_kHz.flac",
-        DATA / "nonexistent.flac",  # must land in the failed ledger
-    ]
+
+LIB_PATHS = [
+    DATA / "s16_mono_22_5kHz.flac",
+    DATA / "piano.flac",
+    DATA / "s32_stereo_44_1_kHz.mp3",
+    DATA / "s32_stereo_44_1_kHz.flac",
+]
+
+
+def scenario_library(pid, mesh, workdir, nprocs):
+    """All hosts update ONE shared library DB through the global mesh.
+    With nprocs=4 the round-robin split of the 5-entry work list is
+    ragged: hosts get 2/1/1/1 entries, and after the failed path lands
+    on one host the resume pass gives another host ZERO work."""
+    from bliss_tpu.io.decoder import FFmpegDecoder
+
+    lib = _open_shared_library(pid, workdir)
+    paths = LIB_PATHS + [DATA / "nonexistent.flac"]  # -> failed ledger
     success, failure = update_library_distributed(
-        lib, paths, mesh, process_id=pid, num_processes=2
+        lib, paths, mesh, process_id=pid, num_processes=nprocs
     )
     print(f"stored pid={pid} success={success} failure={failure}")
 
-    # both hosts see the complete merged library
+    # every host sees the complete merged library
     songs = lib.songs_from_library()
     assert len(songs) == 4, [str(s.bliss_song.path) for s in songs]
     failed = lib.get_failed_songs()
@@ -159,10 +179,115 @@ def scenario_library(pid, mesh, workdir):
         )
 
     # resume semantics: a second distributed update analyzes nothing new
+    # (with nprocs=4 the empty todo gives every host a zero-batch slice)
     s2, f2 = update_library_distributed(
-        lib, paths[:4], mesh, process_id=pid, num_processes=2
+        lib, paths[:4], mesh, process_id=pid, num_processes=nprocs
     )
     assert (s2, f2) == (0, 0), (s2, f2)
+
+
+def scenario_library_die(pid, mesh, workdir, nprocs):
+    """Worker 1 dies after its FIRST analysis round inside
+    update_library_distributed; survivors must surface a clean error
+    (not hang) and store nothing (results commit only after all rounds)."""
+    import os
+
+    from bliss_tpu.parallel import distributed as dist_mod
+
+    lib = _open_shared_library(pid, workdir)
+    if pid == 1:
+        real = dist_mod.analyze_batch_distributed
+        state = {"rounds": 0}
+
+        def dying(*a, **kw):
+            if state["rounds"] >= 1:
+                print("DISTRIBUTED_WORKER_DYING pid=1", flush=True)
+                os._exit(17)
+            state["rounds"] += 1
+            return real(*a, **kw)
+
+        dist_mod.analyze_batch_distributed = dying
+    try:
+        update_library_distributed(
+            lib,
+            LIB_PATHS,
+            mesh,
+            process_id=pid,
+            num_processes=nprocs,
+            round_size=1,  # force multiple rounds per host
+        )
+    except BaseException as exc:  # noqa: BLE001 — any clean error passes
+        assert len(lib.songs_from_library()) == 0, "partial commit!"
+        print(
+            f"DOWNED_WORKER_DETECTED pid={pid} {type(exc).__name__}",
+            flush=True,
+        )
+        return
+    raise AssertionError("update succeeded with a dead peer?")
+
+
+def scenario_library_resume(pid, mesh, workdir, nprocs):
+    """Fresh cluster after the library_die crash: set-difference resumes
+    the whole work list, and every song lands exactly once."""
+    lib = _open_shared_library(pid, workdir)
+    update_library_distributed(
+        lib, LIB_PATHS, mesh, process_id=pid, num_processes=nprocs
+    )
+    songs = lib.songs_from_library()
+    songpaths = sorted(str(s.bliss_song.path) for s in songs)
+    assert len(songpaths) == len(set(songpaths)) == 4, songpaths
+    with lib._lock:
+        n_rows = lib.sqlite_conn.execute(
+            "select count(*) from song"
+        ).fetchone()[0]
+    assert n_rows == 4, n_rows  # no duplicate rows after the resume
+    print(f"resumed pid={pid} rows={n_rows}", flush=True)
+
+
+def scenario_dcn_bench(pid, mesh, nprocs):
+    """Per-round fabric overhead: one analysis round through the global
+    mesh (process_allgather + make_array + sharded program + gather)
+    minus the same batch on the local single-process analyzer."""
+    import time
+
+    from bliss_tpu.models.analyzer import analyze_batch
+
+    rng = np.random.default_rng(7 + pid)
+    t = 16384
+    b_local = 4
+    sigs = (rng.normal(size=(b_local, t)) * 0.1).astype(np.float32)
+    lens = np.full((b_local,), t - 11, np.int32)
+
+    analyze_batch_distributed(mesh, sigs, lens)  # compile
+    analyze_batch(sigs, lens)  # compile
+    rounds = 5
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        analyze_batch_distributed(mesh, sigs, lens)
+    dt_dist = (time.perf_counter() - t0) / rounds
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        np.asarray(analyze_batch(sigs, lens))
+    dt_local = (time.perf_counter() - t0) / rounds
+    if pid == 0:
+        import json
+
+        print(
+            "DCN_BENCH "
+            + json.dumps(
+                {
+                    "metric": "dcn_per_round_overhead",
+                    "value": round((dt_dist - dt_local) * 1e3, 1),
+                    "unit": (
+                        f"ms/round (gloo fake-DCN, {nprocs} procs x "
+                        f"4 devices, B_local={b_local}, 1-core host)"
+                    ),
+                    "distributed_ms": round(dt_dist * 1e3, 1),
+                    "local_ms": round(dt_local * 1e3, 1),
+                }
+            ),
+            flush=True,
+        )
 
 
 def scenario_die(pid, mesh):
@@ -188,18 +313,24 @@ def scenario_die(pid, mesh):
 
 
 def main():
-    pid = int(sys.argv[1])
-    port = sys.argv[2]
-    scenario = sys.argv[3] if len(sys.argv) > 3 else "smoke"
-    heartbeat = 10 if scenario == "die" else None
+    argv = list(sys.argv[1:])
+    nprocs = 2
+    if "--nprocs" in argv:
+        i = argv.index("--nprocs")
+        nprocs = int(argv[i + 1])
+        del argv[i : i + 2]
+    pid = int(argv[0])
+    port = argv[1]
+    scenario = argv[2] if len(argv) > 2 else "smoke"
+    heartbeat = 10 if scenario in ("die", "library_die") else None
     initialize(
         f"127.0.0.1:{port}",
-        num_processes=2,
+        num_processes=nprocs,
         process_id=pid,
         heartbeat_timeout_seconds=heartbeat,
     )
     mesh = global_mesh()
-    assert mesh.size == 8, mesh
+    assert mesh.size == 4 * nprocs, mesh
     assert len(jax.local_devices()) == 4
 
     if scenario == "smoke":
@@ -207,9 +338,15 @@ def main():
     elif scenario == "ragged":
         scenario_ragged(pid, mesh)
     elif scenario == "library":
-        scenario_library(pid, mesh, sys.argv[4])
+        scenario_library(pid, mesh, argv[3], nprocs)
     elif scenario == "die":
         scenario_die(pid, mesh)
+    elif scenario == "library_die":
+        scenario_library_die(pid, mesh, argv[3], nprocs)
+    elif scenario == "library_resume":
+        scenario_library_resume(pid, mesh, argv[3], nprocs)
+    elif scenario == "dcn_bench":
+        scenario_dcn_bench(pid, mesh, nprocs)
     else:
         raise SystemExit(f"unknown scenario {scenario}")
 

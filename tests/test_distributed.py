@@ -36,7 +36,7 @@ def _worker_env() -> dict:
     return env
 
 
-def _run_cluster(scenario: str, extra_args=(), timeout=600):
+def _run_cluster(scenario: str, extra_args=(), timeout=600, n_procs=2):
     port = _free_port()
     env = _worker_env()
     procs = [
@@ -48,13 +48,15 @@ def _run_cluster(scenario: str, extra_args=(), timeout=600):
                 str(port),
                 scenario,
                 *[str(a) for a in extra_args],
+                "--nprocs",
+                str(n_procs),
             ],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
         )
-        for pid in range(2)
+        for pid in range(n_procs)
     ]
     outs = []
     for p in procs:
@@ -94,6 +96,49 @@ def test_two_process_shared_library_update(tmp_path):
     _assert_ok(procs, outs)
     for out in outs:
         assert "stored pid=" in out
+
+
+def test_four_process_ragged_library_update(tmp_path):
+    """VERDICT r4 next-step 7: a 4-process cluster (16 virtual devices)
+    runs update_library_distributed with a RAGGED round-robin work split
+    (2/1/1/1 songs; the resume pass hands every host a zero slice) —
+    all four hosts commit to one shared DB and see the merged result."""
+    procs, outs = _run_cluster("library", extra_args=[tmp_path], n_procs=4)
+    _assert_ok(procs, outs)
+    for out in outs:
+        assert "stored pid=" in out
+
+
+def test_mid_update_worker_kill_then_resume(tmp_path):
+    """Worker 1 dies MID-update_library_distributed (after its first
+    analysis round). Surviving hosts must error cleanly with NOTHING
+    committed; a fresh cluster then resumes via the set-difference work
+    list and every song lands exactly once."""
+    import sqlite3
+
+    procs, outs = _run_cluster("library_die", extra_args=[tmp_path])
+    assert procs[1].returncode == 17, outs[1][-2000:]
+    assert "DISTRIBUTED_WORKER_DYING pid=1" in outs[1]
+    assert (
+        "DOWNED_WORKER_DETECTED pid=0" in outs[0]
+        or procs[0].returncode != 0
+    ), outs[0][-4000:]
+    # nothing committed by the crashed run
+    db = tmp_path / "songs.db"
+    with sqlite3.connect(db) as conn:
+        n = conn.execute("select count(*) from song").fetchone()[0]
+    assert n == 0, f"crashed run committed {n} rows"
+
+    procs, outs = _run_cluster("library_resume", extra_args=[tmp_path])
+    _assert_ok(procs, outs)
+    for out in outs:
+        assert "resumed" in out and "rows=4" in out
+    with sqlite3.connect(db) as conn:
+        paths = [
+            r[0]
+            for r in conn.execute("select path from song").fetchall()
+        ]
+    assert len(paths) == len(set(paths)) == 4, paths
 
 
 def test_two_process_downed_worker():
