@@ -359,6 +359,12 @@ class _LibCache(NamedTuple):
     path_index: dict  # str(path) -> row
     titles: np.ndarray  # [N] object
     artists: np.ndarray  # [N] object
+    #: [N_pad] int32 dedup-metadata ids: rows with equal non-null
+    #: (title, artist) share an id, any-None rows (and padding) are -1 —
+    #: so the dedup metadata test is one integer compare per pair
+    #: instead of four object-array compares (src/playlist.rs:377-383)
+    meta_ids: np.ndarray
+    dev_meta: object  # device-resident meta_ids, lazy (with `dev`)
 
 
 class Library:
@@ -510,6 +516,12 @@ class Library:
             i = cache.path_index.get(p)
             if i is not None:
                 mask[i] = False
+        if deduplicate and sort_by is closest_to_songs and initial:
+            fused = self._fused_order_dedup(initial, distance, mask)
+            if fused is not None:
+                return self._materialize_deduped(
+                    initial, distance, fused, songs
+                )
         ordered = None
         playlist_matrix = None
         playlist_meta = None
@@ -549,6 +561,115 @@ class Library:
                 matrix=playlist_matrix, metadata=playlist_meta,
             )
         return playlist
+
+    def _fused_order_dedup(self, initial, distance, mask, threshold=0.05):
+        """(order, base_same) for the dedup fast path of
+        `playlist_from[_custom]` — one fused device program
+        (playlist._order_dedup_jit) computes seed distances, the masked
+        stable sort, the row gather, consecutive-pair distances and the
+        dedup verdicts (distance < threshold OR equal non-null metadata
+        ids). Returns None when the metric has no batched formulation
+        (the caller then follows the generic pool + list-dedup path)."""
+        from .playlist import (
+            FunctionDistanceMetric,
+            _as_builder,
+            _order_dedup_jit,
+            cosine_distance,
+        )
+
+        songs, mat, n_real = self._cached_library()
+        if not songs:
+            return np.arange(0), np.zeros(0, bool)
+        builder = _as_builder(distance)
+        seeds_list = [
+            np.asarray(s.bliss_song.analysis.as_arr1(), np.float32)
+            for s in initial
+        ]
+        metric = builder.build(seeds_list)
+        if not isinstance(metric, FunctionDistanceMetric):
+            return None
+        w = getattr(metric.func, "weight_matrix", None)
+        if metric.func is euclidean_distance:
+            kind = "mahalanobis"
+            m = np.eye(mat.shape[1], dtype=np.float32)
+        elif w is not None:
+            kind = "mahalanobis"
+            m = np.asarray(w, np.float32)
+        elif metric.func is cosine_distance:
+            kind = "cosine"
+            m = np.eye(mat.shape[1], dtype=np.float32)
+        else:
+            return None
+        target = self._device_matrix()
+        cache = self._matrix_cache
+        full_mask = np.zeros(mat.shape[0], bool)
+        full_mask[: len(mask)] = mask
+        order, base_same = _order_dedup_jit(kind)(
+            target,
+            np.stack(seeds_list),
+            m,
+            full_mask,
+            cache.dev_meta,
+            np.float32(threshold),
+        )
+        n_alive = int(mask.sum())
+        order = np.asarray(order, np.int64)[:n_alive]
+        base_same = np.asarray(base_same)[: max(n_alive - 1, 0)]
+        return order, base_same
+
+    def _materialize_deduped(
+        self, initial, distance, fused, songs, threshold=0.05
+    ):
+        """Walk the device dedup verdicts over the virtual playlist
+        `initial + ordered` (initial's few pairs resolved host-side) and
+        materialize the surviving songs ONCE. Scalar rechecks after a
+        drop (where `current` stays put and the device pair no longer
+        applies) run on the cached host matrix — exact reference
+        semantics (src/playlist.rs:367-402) at index speed."""
+        from .playlist import _as_builder, _dedup_walk_runs
+
+        order, base_same = fused
+        cache = self._matrix_cache
+        mat = cache.mat
+        k = len(initial)
+        n_total = k + len(order)
+        builder = _as_builder(distance)
+
+        def vec(i):
+            if i < k:
+                return np.asarray(
+                    initial[i].bliss_song.analysis.as_arr1(), np.float32
+                )
+            return mat[order[i - k]]
+
+        def song_at(i):
+            return initial[i] if i < k else songs[order[i - k]]
+
+        def scalar_same(i, j):
+            if builder.build([vec(i)]).distance(vec(j)) < threshold:
+                return True
+            a, b = song_at(i), song_at(j)
+            return (
+                a.title is not None
+                and b.title is not None
+                and a.artist is not None
+                and b.artist is not None
+                and a.title == b.title
+                and a.artist == b.artist
+            )
+
+        base = np.zeros(max(n_total - 1, 0), bool)
+        for i in range(k - 1):
+            base[i] = scalar_same(i, i + 1)
+        if k and len(order):
+            base[k - 1] = scalar_same(k - 1, k)
+        base[k:] = base_same
+        kept = _dedup_walk_runs(n_total, base, scalar_same)
+        head = kept[kept < k]
+        tail_rows = order[kept[kept >= k] - k]
+        out = [initial[int(i)] for i in head]
+        out.extend(songs[i] for i in tail_rows.tolist())
+        return out
 
     def _device_query_order(self, sort_by, initial, distance, mask):
         """Row order (into the cached matrix) for the package sorters,
@@ -1263,11 +1384,18 @@ class Library:
         }
         titles = np.empty(n, object)
         artists = np.empty(n, object)
+        meta_ids = np.full(n_pad, -1, np.int32)
+        pair_ids: dict = {}
         for i, s in enumerate(songs):
-            titles[i] = s.bliss_song.title
-            artists[i] = s.bliss_song.artist
+            t = s.bliss_song.title
+            a = s.bliss_song.artist
+            titles[i] = t
+            artists[i] = a
+            if t is not None and a is not None:
+                meta_ids[i] = pair_ids.setdefault((t, a), len(pair_ids))
         self._matrix_cache = _LibCache(
-            version, songs, mat, None, n, path_index, titles, artists
+            version, songs, mat, None, n, path_index, titles, artists,
+            meta_ids, None,
         )
         return songs, mat, n
 
@@ -1300,9 +1428,13 @@ class Library:
                 dev = jax.device_put(
                     cache.mat, NamedSharding(mesh, P("songs", None))
                 )
+                dev_meta = jax.device_put(
+                    cache.meta_ids, NamedSharding(mesh, P("songs"))
+                )
             else:
                 dev = jax.device_put(cache.mat)
-            cache = cache._replace(dev=dev)
+                dev_meta = jax.device_put(cache.meta_ids)
+            cache = cache._replace(dev=dev, dev_meta=dev_meta)
             self._matrix_cache = cache
         return cache.dev
 

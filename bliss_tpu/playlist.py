@@ -21,6 +21,7 @@ callable, mirroring the DistanceMetricBuilder/DistanceMetric trait pair
 from __future__ import annotations
 
 import os
+from functools import lru_cache as _lru_cache
 from typing import Callable, List, Optional, Sequence
 
 import numpy as np
@@ -178,6 +179,94 @@ def _batched_cosine(matrix: np.ndarray, seeds: List[np.ndarray]) -> np.ndarray:
     sn = jnp.sqrt(jnp.sum(s * s, axis=1))
     sim = jnp.matmul(x, s.T, precision="highest") / (xn[:, None] * sn[None, :])
     return np.asarray(jnp.sum(1.0 - sim, axis=1))
+
+
+@_lru_cache(maxsize=None)
+def _order_dedup_jit(kind: str):
+    """One fused device program behind `Library.playlist_from`'s dedup
+    fast path: seed distances -> masked stable argsort -> gather ->
+    consecutive-pair distances -> dedup verdicts. Moving the sort, the
+    `[N, F]` row gather and the pairwise pass onto the device leaves the
+    host with only the (rare) post-drop scalar rechecks and ONE final
+    list materialization — at 1M songs those three stages were ~1.5 s of
+    the 2.04 s warm p50 (PERF.md §43). Readback is `order` (int32) plus
+    one bool lane per pair, the same order of bytes the unfused path
+    already fetched for its distances.
+
+    `kind` is "mahalanobis" (euclidean rides it with an identity weight,
+    matching `_batched_mahalanobis`) or "cosine". Verdict semantics per
+    src/playlist.rs:367-402: pair distance < threshold OR equal
+    non-null (title, artist), the latter precomputed as integer ids
+    (equal ids == equal pairs; -1 == any None)."""
+    import jax
+    import jax.numpy as jnp
+
+    def fn(mat, seeds, m, mask, meta_ids, threshold):
+        d = mat[:, None, :] - seeds[None, :, :]  # [N, K, F]
+        if kind == "cosine":
+            xn = jnp.sqrt(jnp.sum(mat * mat, axis=1))
+            sn = jnp.sqrt(jnp.sum(seeds * seeds, axis=1))
+            sim = jnp.matmul(mat, seeds.T, precision="highest") / (
+                xn[:, None] * sn[None, :]
+            )
+            dists = jnp.sum(1.0 - sim, axis=1)
+        else:
+            q = jnp.einsum("nkf,fg,nkg->nk", d, m, d, precision="highest")
+            dists = jnp.sum(jnp.sqrt(jnp.maximum(q, 0.0)), axis=1)
+        masked = jnp.where(mask, dists, jnp.float32(jnp.inf))
+        order = jnp.argsort(masked, stable=True)
+        g = jnp.take(mat, order, axis=0)
+        a, b = g[:-1], g[1:]
+        if kind == "cosine":
+            na = jnp.sqrt(jnp.sum(a * a, axis=1))
+            nb = jnp.sqrt(jnp.sum(b * b, axis=1))
+            pair = 1.0 - jnp.sum(a * b, axis=1) / (na * nb)
+        else:
+            dd = a - b
+            w = jnp.einsum("nf,fg->ng", dd, m, precision="highest")
+            pair = jnp.sqrt(jnp.maximum(jnp.sum(w * dd, axis=1), 0.0))
+        mid = jnp.take(meta_ids, order)
+        same = (pair < threshold) | (
+            (mid[:-1] == mid[1:]) & (mid[:-1] >= 0)
+        )
+        return order.astype(jnp.int32), same
+
+    return jax.jit(fn)
+
+
+def _dedup_walk_runs(n: int, base_same: np.ndarray, scalar_same) -> np.ndarray:
+    """The dedup walk of `dedup_playlist_custom_distance`, on INDICES:
+    returns the kept positions in [0, n) given precomputed consecutive
+    verdicts `base_same` ([n-1] bool) and a `scalar_same(i, j)` resolver
+    for the non-consecutive rechecks that follow a drop (where `current`
+    stays put). Identical float/verdict ordering to the list walk — only
+    the materialization is deferred to the caller."""
+    if n <= 0:
+        return np.arange(0)
+    flagged = np.flatnonzero(base_same)
+    if not len(flagged):
+        return np.arange(n)
+    runs = []
+    cur = 0
+    fi = 0
+    while cur < n - 1:
+        while fi < len(flagged) and flagged[fi] < cur:
+            fi += 1
+        stop = int(flagged[fi]) if fi < len(flagged) else n - 1
+        if stop > cur:
+            runs.append(np.arange(cur, stop))
+        cur = stop
+        if cur >= n - 1:
+            break
+        nxt = cur + 2
+        while nxt < n and scalar_same(cur, nxt):
+            nxt += 1
+        if nxt >= n:
+            break
+        runs.append(np.arange(cur, cur + 1))
+        cur = nxt
+    runs.append(np.arange(cur, cur + 1))
+    return np.concatenate(runs)
 
 
 # ---------------------------------------------------------------------------

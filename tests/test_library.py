@@ -396,6 +396,89 @@ def test_cached_query_forest_metric(filled_library):
     ]
 
 
+@pytest.fixture
+def dupes_library(library):
+    """A library dense with dedup triggers: clusters of near-identical
+    vectors (within the 0.05 threshold, incl. chains longer than 2 so
+    the post-drop scalar rechecks run), shared non-null (title, artist)
+    pairs across distant vectors, and None metadata."""
+    rng = np.random.default_rng(7)
+    n = 0
+
+    def store(vec, title=None, artist=None):
+        nonlocal n
+        song = Song(
+            path=pathlib.Path(f"/music/d{n:03d}.flac"),
+            title=title,
+            artist=artist,
+            analysis=Analysis(
+                np.asarray(vec, np.float32), FeaturesVersion.VERSION2
+            ),
+            duration=10.0,
+        )
+        library.store_song(LibrarySong(song, None))
+        n += 1
+
+    for c in range(6):
+        base = rng.uniform(-1, 1, 23)
+        # chains of 1-4 near-duplicates around each cluster center
+        for j in range(1 + c % 4):
+            store(base + rng.uniform(-0.004, 0.004, 23), f"t{c}", f"a{c}")
+        # a metadata twin far away in feature space
+        store(rng.uniform(-1, 1, 23), f"t{c}", f"a{c}")
+        # None-metadata neighbours (must NOT dedup on metadata)
+        store(base + rng.uniform(-0.004, 0.004, 23), None, f"a{c}")
+        store(rng.uniform(-1, 1, 23))
+    return library, n
+
+
+@pytest.mark.parametrize(
+    "distance",
+    [
+        euclidean_distance,
+        pytest.param("cosine", id="cosine"),
+        pytest.param("mahal", id="mahal"),
+    ],
+)
+def test_fused_dedup_matches_generic(dupes_library, distance):
+    """The fused device order+dedup program behind playlist_from must
+    reproduce the generic list-walk dedup exactly — duplicates, chains,
+    metadata twins and None metadata included."""
+    from bliss_tpu.playlist import (
+        cosine_distance,
+        mahalanobis_distance_builder,
+    )
+
+    lib, n = dupes_library
+    if distance == "cosine":
+        distance = cosine_distance
+    elif distance == "mahal":
+        rng = np.random.default_rng(3)
+        a = rng.uniform(0.2, 1.0, 23).astype(np.float32)
+        distance = mahalanobis_distance_builder(np.diag(a))
+    seeds = ["/music/d000.flac", "/music/d005.flac"]
+    fast = lib.playlist_from_custom(seeds, distance, closest_to_songs, True)
+    slow = _generic_playlist(lib, seeds, distance, closest_to_songs)
+    assert len(fast) < n + 2  # the dedup actually dropped songs
+    assert [str(s.bliss_song.path) for s in fast] == [
+        str(s.bliss_song.path) for s in slow
+    ]
+
+
+def test_fused_dedup_single_seed_cluster(dupes_library):
+    """Seeding from inside a duplicate cluster: the seed's own twins are
+    the first ordered rows, so the initial->ordered boundary pair and
+    the following chain all dedup."""
+    lib, _ = dupes_library
+    fast = lib.playlist_from(["/music/d001.flac"])
+    slow = _generic_playlist(
+        lib, ["/music/d001.flac"], euclidean_distance, closest_to_songs
+    )
+    assert [str(s.bliss_song.path) for s in fast] == [
+        str(s.bliss_song.path) for s in slow
+    ]
+
+
 def test_matrix_cache_invalidation(filled_library):
     lib = filled_library
     songs1, mat1, n1 = lib._cached_library()
