@@ -91,7 +91,7 @@ def _upload_kind() -> str:
     the contract at +50% wire. `BLISS_UPLOAD` overrides per-run.
     """
     kind = os.environ.get("BLISS_UPLOAD")
-    if kind in ("f32", "i16b", "i24b", "auto"):
+    if kind in ("f32", "i16b", "i20b", "i24b", "auto"):
         return kind
     import jax
 
@@ -166,6 +166,45 @@ def _quantize_i16b(
     return i16, e8
 
 
+def _quantize_i20b(
+    samples: np.ndarray, padded_len: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """20-bit block-floating-point: int16 high mantissa + packed low
+    NIBBLE (two samples per byte) + int8 exponent per block =
+    2.504 B/sample, 17% fewer bytes than i24b. Same scheme with
+    2^19-scaled mantissas — rounding error ≤ blockpeak·2^-19, 16x finer
+    than i16b's breach class (PERF.md §26) but 16x coarser than i24b's
+    below-the-DFT-noise-floor guarantee; whether that clears the 1e-4
+    corpus contract is an on-chip measurement (VERDICT r4 next-step 5),
+    recorded in PERF.md before this can back any `auto` slot."""
+    n = samples.shape[0]
+    hi = np.zeros(padded_len, np.int16)
+    nib = np.zeros(padded_len // 2, np.uint8)
+    e8 = np.zeros(padded_len // WIRE_BLOCK, np.int8)
+    nb = (n + WIRE_BLOCK - 1) // WIRE_BLOCK
+    xb = np.zeros((nb, WIRE_BLOCK), np.float32)
+    xb.reshape(-1)[:n] = samples
+    peak = np.abs(xb).max(axis=1)
+    e = np.ceil(np.log2(np.maximum(peak, 2.0**-100))).astype(np.int32)
+    np.clip(e, -100, 100, out=e)
+    qpeak = np.round(
+        xb.max(axis=1).astype(np.float64) * np.exp2(19.0 - e)
+    )
+    e = np.where(qpeak > float(2**19 - 1), e + 1, e)
+    np.clip(e, -100, 100, out=e)
+    q = np.round(xb.astype(np.float64) * np.exp2(19.0 - e)[:, None])
+    np.clip(q, -(2**19), 2**19 - 1, out=q)
+    qi = q.astype(np.int32).reshape(-1)[: nb * WIRE_BLOCK]
+    hi[: nb * WIRE_BLOCK] = (qi >> 4).astype(np.int16)
+    lo4 = (qi & 0xF).astype(np.uint8)
+    full = np.zeros(padded_len, np.uint8)
+    full[: nb * WIRE_BLOCK] = lo4
+    # sample 2i rides the LOW nibble of byte i, sample 2i+1 the high
+    nib[:] = full[0::2] | (full[1::2] << 4)
+    e8[:nb] = e.astype(np.int8)
+    return hi, nib, e8
+
+
 def _quantize_i24b(
     samples: np.ndarray, padded_len: int
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -227,6 +266,18 @@ def _upload_song(samples: np.ndarray, padded_len: int, kind: str, device=None):
         handles += [
             jax.device_put(lo8[lo:hi], device)
             for lo, hi in _chunk_bounds(padded_len)
+        ]
+        handles.append(jax.device_put(e8, device))
+        return tuple(handles)
+    if kind == "i20b":
+        hi16, nib8, e8 = _quantize_i20b(samples, padded_len)
+        handles = [
+            jax.device_put(hi16[lo:hi], device)
+            for lo, hi in _chunk_bounds(padded_len)
+        ]
+        handles += [
+            jax.device_put(nib8[lo:hi], device)
+            for lo, hi in _chunk_bounds(padded_len // 2)
         ]
         handles.append(jax.device_put(e8, device))
         return tuple(handles)
@@ -313,6 +364,8 @@ def _handles_per_song(padded_len: int, kind: str) -> int:
         return n_chunks
     if kind == "i24b":
         return 2 * n_chunks + 1
+    if kind == "i20b":
+        return n_chunks + len(_chunk_bounds(padded_len // 2)) + 1
     return n_chunks + 1
 
 
@@ -329,6 +382,15 @@ def _dequantize_song(h: tuple, padded_len: int, kind: str):
         lo = jnp.concatenate(h[n_chunks : 2 * n_chunks]).astype(jnp.int32)
         q = (hi * 256 + lo).astype(jnp.float32)
         scale = jnp.exp2(h[-1].astype(jnp.float32) - 23.0)
+        return (q.reshape(-1, WIRE_BLOCK) * scale[:, None]).reshape(-1)
+    if kind == "i20b":
+        n_chunks = len(_chunk_bounds(padded_len))
+        hi = jnp.concatenate(h[:n_chunks]).astype(jnp.int32)
+        b = jnp.concatenate(h[n_chunks:-1]).astype(jnp.int32)
+        # byte i: low nibble = sample 2i, high nibble = sample 2i+1
+        nib = jnp.stack([b & 0xF, b >> 4], axis=-1).reshape(-1)
+        q = (hi * 16 + nib).astype(jnp.float32)
+        scale = jnp.exp2(h[-1].astype(jnp.float32) - 19.0)
         return (q.reshape(-1, WIRE_BLOCK) * scale[:, None]).reshape(-1)
     i16 = jnp.concatenate(h[:-1])
     scale = jnp.exp2(h[-1].astype(jnp.float32) - 15.0)

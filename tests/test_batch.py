@@ -401,6 +401,56 @@ def test_batched_auto_wire(data_dir, monkeypatch):
         )
 
 
+def test_i20b_wire_format_roundtrip():
+    """20-bit block-floating-point (2.5 B/sample): error <= blockpeak *
+    2^-19, s16-grid content bit-exact (s16 is only 16 significant bits),
+    nibble packing/unpacking order correct for negatives."""
+    from bliss_tpu.io.batch import WIRE_BLOCK, _quantize_i20b
+
+    rng = np.random.default_rng(5)
+    x = np.concatenate(
+        [
+            (rng.integers(-32768, 32768, 2 * WIRE_BLOCK) / 32768.0),
+            rng.normal(0, 0.2, 2 * WIRE_BLOCK),
+            np.zeros(WIRE_BLOCK),
+            rng.normal(0, 1e-5, 123),  # very quiet tail block
+        ]
+    ).astype(np.float32)
+    padded = 6 * WIRE_BLOCK
+    hi, nib, e8 = _quantize_i20b(x, padded)
+    assert nib.shape == (padded // 2,)
+    low = (nib & 0xF).astype(np.int64)
+    high = (nib >> 4).astype(np.int64)
+    nibbles = np.stack([low, high], axis=-1).reshape(-1)
+    q = hi.astype(np.int64) * 16 + nibbles
+    recon = (
+        q.reshape(-1, WIRE_BLOCK)
+        * np.exp2(e8.astype(np.float64) - 19.0)[:, None]
+    ).reshape(-1)[: x.shape[0]]
+    np.testing.assert_array_equal(
+        recon[: 2 * WIRE_BLOCK].astype(np.float32), x[: 2 * WIRE_BLOCK]
+    )  # s16 grid: bit-exact
+    peaks = np.abs(x[: 5 * WIRE_BLOCK]).reshape(5, WIRE_BLOCK).max(1)
+    err = np.abs(recon[: 5 * WIRE_BLOCK] - x[: 5 * WIRE_BLOCK]).reshape(
+        5, WIRE_BLOCK
+    ).max(1)
+    assert (err <= peaks * 2.0**-18 + 1e-12).all()
+
+
+def test_batched_i20b_upload_matches_f32(data_dir, monkeypatch):
+    monkeypatch.setenv("BLISS_UPLOAD", "i20b")
+    paths = [data_dir / "s16_mono_22_5kHz.flac", data_dir / "piano.flac"]
+    quant = dict(analyze_paths_batched(FFmpegDecoder, paths, batch_size=2))
+    monkeypatch.setenv("BLISS_UPLOAD", "f32")
+    exact = dict(analyze_paths_batched(FFmpegDecoder, paths, batch_size=2))
+    for p in paths:
+        np.testing.assert_allclose(
+            quant[p].analysis.as_arr1(),
+            exact[p].analysis.as_arr1(),
+            atol=5e-6,
+        )
+
+
 def test_batched_i24b_upload_matches_f32(data_dir, monkeypatch):
     monkeypatch.setenv("BLISS_UPLOAD", "i24b")
     paths = [data_dir / "s16_mono_22_5kHz.flac", data_dir / "piano.flac"]
