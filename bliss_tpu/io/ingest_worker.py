@@ -59,6 +59,9 @@ def main(argv=None) -> int:
     if "--decoder" in argv:
         decoder_cls = _resolve_decoder(argv[argv.index("--decoder") + 1])
     show_progress = "--progress" in argv
+    gate = None
+    if "--gate" in argv:
+        gate = argv[argv.index("--gate") + 1]
 
     _apply_env_platform()
     from ..library import Library
@@ -69,6 +72,26 @@ def main(argv=None) -> int:
         for line in pathlib.Path(list_path).read_text().splitlines()
         if line
     ]
+    if gate is not None:
+        # Pre-spawned overlap (update_library_recycled): this worker was
+        # started while the PREVIOUS segment still owns the device, to
+        # hide the 10-20 s warm restart behind the previous drain. Do
+        # every startup cost now — imports, DB open (above) and, unless
+        # opted out, the PJRT client handshake (enumeration only; no
+        # upload/execute, so the one-process-executes rule holds) — then
+        # idle until the parent signals the device is free.
+        import time
+
+        if os.environ.get("BLISS_GATE_PREWARM", "1") != "0":
+            import jax
+
+            jax.devices()
+        deadline = time.time() + 7200.0
+        while not os.path.exists(gate):
+            if time.time() > deadline:
+                print("ingest worker: gate never opened", file=sys.stderr)
+                return 3
+            time.sleep(0.2)
     lib.update_library(paths, False, show_progress)
     return 0
 

@@ -993,6 +993,7 @@ class Library:
         (single-process; the reference never uploads, so never meets
         this constraint).
         """
+        import shutil
         import subprocess
         import sys
         import tempfile
@@ -1056,29 +1057,68 @@ class Library:
             len(segments),
             segment_songs,
         )
+        # Pre-spawned overlap (PERF §44/§51): a fresh worker pays a
+        # 10-20 s warm-cache start through the tunnel. Spawning segment
+        # i+1's worker WHILE segment i drains hides that tax — the
+        # pre-spawned child does imports + DB open + (optionally) the
+        # PJRT enumeration handshake, then idles on a gate file it only
+        # passes once the parent confirms segment i released the device,
+        # so the one-process-executes rule holds. BLISS_RECYCLE_PRESPAWN=0
+        # reverts to strictly sequential spawns.
+        prespawn = os.environ.get("BLISS_RECYCLE_PRESPAWN", "1") != "0"
+        staging = tempfile.mkdtemp(prefix="bliss_recycle_")
+        list_paths = []
         for idx, seg in enumerate(segments):
-            fd, list_path = tempfile.mkstemp(suffix=".paths", text=True)
-            with os.fdopen(fd, "w") as f:
+            list_path = os.path.join(staging, f"seg_{idx}.paths")
+            with open(list_path, "w") as f:
                 f.write("\n".join(str(p) for p in seg))
+            list_paths.append(list_path)
+
+        def _spawn(idx: int, gate: Optional[str]):
             cmd = [
                 sys.executable,
                 "-m",
                 "bliss_tpu.io.ingest_worker",
                 str(self.config.config_path),
-                list_path,
+                list_paths[idx],
                 "--decoder",
                 decoder_spec,
             ]
             if show_progress_bar:
                 cmd.append("--progress")
-            try:
+            if gate is not None:
+                cmd += ["--gate", gate]
+            return subprocess.Popen(cmd, env=env)
+
+        next_proc = None
+        next_gate = None
+        try:
+            for idx in range(len(segments)):
+                if next_proc is not None:
+                    proc, gate = next_proc, next_gate
+                    next_proc = next_gate = None
+                else:
+                    proc, gate = _spawn(idx, None), None
+                if gate is not None:
+                    # segment idx-1 has exited: the device is free.
+                    pathlib.Path(gate).touch()
+                if prespawn and idx + 1 < len(segments):
+                    next_gate = os.path.join(staging, f"gate_{idx + 1}")
+                    next_proc = _spawn(idx + 1, next_gate)
                 rc = None
                 for attempt in (1, 2):
+                    if attempt == 2:
+                        # fresh ungated process; the pre-spawned idx+1
+                        # worker keeps idling on its closed gate.
+                        proc = _spawn(idx, None)
                     try:
-                        rc = subprocess.run(
-                            cmd, env=env, timeout=timeout
-                        ).returncode
+                        # the timeout clock starts at gate-open (wait()
+                        # is called only after touch above), so a gated
+                        # worker's idle wait is not charged against it
+                        rc = proc.wait(timeout=timeout)
                     except subprocess.TimeoutExpired:
+                        proc.kill()
+                        proc.wait()
                         rc = "timeout"
                     if rc == 0:
                         break
@@ -1096,8 +1136,11 @@ class Library:
                         f"ingest worker for segment {idx + 1}/"
                         f"{len(segments)} failed twice (rc={rc})"
                     )
-            finally:
-                os.unlink(list_path)
+        finally:
+            if next_proc is not None:
+                next_proc.kill()
+                next_proc.wait()
+            shutil.rmtree(staging, ignore_errors=True)
         self._invalidate_matrix_cache()
 
     # --- queries -------------------------------------------------------------

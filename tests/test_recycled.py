@@ -68,13 +68,13 @@ def test_recycled_second_call_spawns_nothing(lib, data_dir, monkeypatch):
     lib.update_library_recycled(paths, False, False, segment_songs=8)
 
     calls = []
-    real_run = subprocess.run
+    real_popen = subprocess.Popen
 
-    def counting_run(*a, **k):
+    def counting_popen(*a, **k):
         calls.append(a)
-        return real_run(*a, **k)
+        return real_popen(*a, **k)
 
-    monkeypatch.setattr(subprocess, "run", counting_run)
+    monkeypatch.setattr(subprocess, "Popen", counting_popen)
     lib.update_library_recycled(paths, False, False, segment_songs=8)
     assert calls == []  # set-difference: nothing left to analyze
 
@@ -88,17 +88,64 @@ def test_recycled_second_call_spawns_nothing(lib, data_dir, monkeypatch):
 def test_recycled_failed_segment_raises(lib, data_dir, monkeypatch):
     from bliss_tpu.errors import BlissError
 
-    def failing_run(cmd, **k):
-        class R:
-            returncode = 3
+    spawned = []
 
-        return R()
+    class FakeProc:
+        def wait(self, timeout=None):
+            return 3
 
-    monkeypatch.setattr(subprocess, "run", failing_run)
+        def kill(self):
+            pass
+
+    def failing_popen(cmd, **k):
+        spawned.append(cmd)
+        return FakeProc()
+
+    monkeypatch.setattr(subprocess, "Popen", failing_popen)
     with pytest.raises(BlissError, match="failed twice"):
         lib.update_library_recycled(
             [str(_paths(data_dir)[0])], False, False, segment_songs=4
         )
+    assert len(spawned) == 2  # one fresh retry, then give up
+
+
+def test_recycled_prespawn_gates_next_segment(lib, data_dir, monkeypatch):
+    """With >1 segment the driver pre-spawns segment i+1's worker with a
+    --gate it may only pass once segment i exits (restart-tax overlap,
+    PERF §51); a failing run must also reap the idling pre-spawned child."""
+    gates_at_spawn = []
+    real_popen = subprocess.Popen
+
+    class FakeProc:
+        killed = 0
+
+        def wait(self, timeout=None):
+            return 3
+
+        def kill(self):
+            FakeProc.killed += 1
+
+    def recording_popen(cmd, **k):
+        gate = cmd[cmd.index("--gate") + 1] if "--gate" in cmd else None
+        gates_at_spawn.append(gate)
+        return FakeProc()
+
+    monkeypatch.setattr(subprocess, "Popen", recording_popen)
+    from bliss_tpu.errors import BlissError
+
+    with pytest.raises(BlissError, match="failed twice"):
+        lib.update_library_recycled(
+            [str(p) for p in _paths(data_dir)[:4]],
+            False,
+            False,
+            segment_songs=2,
+        )
+    # segment 0 spawns ungated; segment 1 pre-spawns WITH a gate before
+    # segment 0's result is known; the retry of segment 0 is ungated.
+    assert gates_at_spawn[0] is None
+    assert gates_at_spawn[1] is not None
+    assert gates_at_spawn[2] is None
+    assert FakeProc.killed >= 1  # the idling pre-spawned child was reaped
 
 
 def test_recycled_delete_everything_else(lib, data_dir):
