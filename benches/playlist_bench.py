@@ -177,6 +177,19 @@ def _bench_topk(args, library, p50=None):
 
 
 def main():
+    # honor JAX_PLATFORMS from the caller: the sandbox's sitecustomize
+    # pre-imports jax and pins the platform via jax.config, so the env
+    # var alone is silently IGNORED (the CLAUDE.md gotcha) — a
+    # `JAX_PLATFORMS=cpu` bench run would otherwise land on the real
+    # accelerator and contend with whatever owns it.
+    import os as _os
+
+    want = _os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax as _jax0
+
+        _jax0.config.update("jax_platforms", want)
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--n", type=int, default=100_000)
     parser.add_argument("--queries", type=int, default=9)
