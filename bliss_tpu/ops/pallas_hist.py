@@ -25,6 +25,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
 _ROW_BLOCK = 256
+#: VMEM budget per input block (bytes). Blocks are double-buffered
+#: under the grid (and vmap prepends a batch grid dim), so the limit
+#: seen by the compiler is ~2x this plus the [8, 128] out tile; 6 MB
+#: keeps long-song planes (cols scales with frames — 13316 for the
+#: 21-min medley bucket, which OOMed the default 16 MB scoped-vmem
+#: limit at rb=256) well inside it. Exactness is unaffected: partial
+#: counts are integer-valued f32, any block grouping sums exactly.
+_BLOCK_BYTES = 6 << 20
+
+
+def _row_block(cols: int, bytes_per_elem: int) -> int:
+    """Largest multiple-of-8 row block (<= _ROW_BLOCK) whose input
+    block(s) fit the VMEM budget; at least 8 rows."""
+    rb = _BLOCK_BYTES // max(1, cols * bytes_per_elem)
+    return max(8, min(_ROW_BLOCK, (rb // 8) * 8))
 
 
 def _make_kernel(n_bins: int, cols: int):
@@ -59,7 +74,7 @@ def histogram_int_plane(idx: jnp.ndarray, n_bins: int) -> jnp.ndarray:
     if idx.ndim > 2:
         idx = idx.reshape(-1, idx.shape[-1])
     rows, cols = idx.shape
-    rb = min(_ROW_BLOCK, -(-rows // 8) * 8)
+    rb = min(_row_block(cols, 4), -(-rows // 8) * 8)
     rpad = -(-rows // rb) * rb
     if rpad != rows:
         idx = jnp.pad(idx, ((0, rpad - rows), (0, 0)), constant_values=-1)
@@ -115,7 +130,8 @@ def histogram_threshold_plane(
     assert n_bins <= _LANES, n_bins
     assert idx8.shape == skey.shape and idx8.ndim == 2
     rows, cols = idx8.shape
-    rb = min(_ROW_BLOCK, -(-rows // 8) * 8)
+    # idx8 (1 B) + skey (4 B) planes share the block's VMEM footprint
+    rb = min(_row_block(cols, 5), -(-rows // 8) * 8)
     rpad = -(-rows // rb) * rb
     if rpad != rows:
         idx8 = jnp.pad(idx8, ((0, rpad - rows), (0, 0)), constant_values=-1)
